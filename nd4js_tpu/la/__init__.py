@@ -1,0 +1,11 @@
+"""Dense linear algebra — TPU-native rebuild of /root/reference/src/la/.
+
+Re-export surface mirrors /root/reference/src/la/index.js:19-63.
+"""
+from .norm import norm, norm_fro, safe_norm_2
+from .eye_diag import eye, diag, diag_mat
+from .permute import (permute_rows, permute_cols, unpermute_rows,
+                      unpermute_cols, invert_permutation)
+from .matmul import matmul, matmul2
+from .tri import (tril, triu, tri_inv, tril_solve, triu_solve,
+                  tril_t_solve, triu_t_solve)

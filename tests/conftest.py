@@ -1,0 +1,35 @@
+"""Test configuration: CPU backend with 8 virtual devices + float64.
+
+Tests run on a virtual 8-device CPU mesh (multi-chip sharding paths are
+validated here; the driver separately dry-runs __graft_entry__'s
+multichip path). float64 is enabled so accuracy contracts from the
+reference (which computes in float64) can be verified exactly; float32
+contracts are tested with scaled tolerances.
+
+Must run before any jax backend initialisation — pytest imports conftest
+before test modules, and the sitecustomize axon registration is lazy.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng(request):
+    """Seeded TestRNG — the test's nodeid is the seed, mirroring the
+    reference where the spec description seeds the RNG
+    (/root/reference/src/jasmine_utils.js:276-277)."""
+    from tests.utils import TestRNG
+    return TestRNG(request.node.nodeid)
