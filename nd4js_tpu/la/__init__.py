@@ -9,3 +9,10 @@ from .permute import (permute_rows, permute_cols, unpermute_rows,
 from .matmul import matmul, matmul2
 from .tri import (tril, triu, tri_inv, tril_solve, triu_solve,
                   tril_t_solve, triu_t_solve)
+from .lu import lu_decomp, lu_solve
+from .qr import qr_decomp, qr_decomp_full, qr_lstsq, qr_solve
+from .rrqr import (rrqr_decomp, rrqr_decomp_full, rrqr_rank,
+                   rrqr_solve, rrqr_lstsq)
+from .singular_matrix_solve_error import SingularMatrixSolveError
+from .cholesky import cholesky_decomp, cholesky_solve
+from .ldl import ldl_decomp, ldl_solve

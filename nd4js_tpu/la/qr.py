@@ -1,0 +1,177 @@
+"""QR decomposition — blocked Householder with compact-WY aggregation.
+
+Parity with /root/reference/src/la/qr.js (`qr_decomp_full` :27-77,
+economic `qr_decomp` :80-145, `_qr_decomp_inplace` :148-183,
+`qr_lstsq` :186-273).
+
+TPU-first redesign (SURVEY.md §7 stage 4): the reference uses cache-
+blocked *Givens* rotations because scalar CPUs favour them; on TPU the
+idiomatic choice is blocked *Householder* with the compact-WY
+representation — the panel factorisation is a ``lax.fori_loop`` of
+vectorised rank-1 updates, and everything else (T-matrix formation,
+trailing updates, Q accumulation) is GEMMs on the MXU:
+
+    per panel of width b:
+      V, taus, R_panel  = unblocked Householder on A[k:, k:k+b]
+      T (b×b upper)     = compact-WY recurrence  T[:j,j] = -tau_j·T·VᵀV[:,j]
+      A[k:, k+b:]      -= V·Tᵀ·Vᵀ·A[k:, k+b:]            (3 GEMMs)
+    Q = (I−V₁T₁V₁ᵀ)···(I−VₚTₚVₚᵀ) applied to I in reverse   (GEMMs)
+
+Capability parity, different mechanism — same contract: Q orthogonal to
+eps·4·max(M,N), Q·R ≈ A.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.batch import batched
+from ..core.mm import mm, mt
+from ..config import default_float_for
+from .tri import triu_solve
+
+__all__ = ["qr_decomp", "qr_decomp_full", "qr_lstsq", "qr_solve"]
+
+_PANEL = 128
+
+
+def _householder_panel(p):
+    """Unblocked Householder QR of panel ``p`` (m, b), m >= b.
+
+    Returns (V, taus, R_panel): V (m, b) unit-diagonal reflectors (zeros
+    above the diagonal), taus (b,), and the transformed panel whose top
+    b rows are the triangular factor.
+    """
+    m, b = p.shape
+    rows = jnp.arange(m)
+    cols = jnp.arange(b)
+    V0 = jnp.zeros_like(p)
+    taus0 = jnp.zeros((b,), p.dtype)
+
+    def body(j, carry):
+        p, V, taus = carry
+        x = p[:, j]
+        x0 = x[j]
+        sigma = jnp.sum(jnp.where(rows > j, x * x, 0))
+        nrm = jnp.sqrt(x0 * x0 + sigma)
+        beta = jnp.where(x0 >= 0, -nrm, nrm)
+        denom = x0 - beta
+        safe_den = jnp.where(denom == 0, jnp.ones_like(denom), denom)
+        v = jnp.where(rows > j, x / safe_den, jnp.zeros_like(x))
+        v = jnp.where(rows == j, jnp.ones_like(x), v)
+        safe_beta = jnp.where(beta == 0, jnp.ones_like(beta), beta)
+        tau = jnp.where(nrm == 0, jnp.zeros_like(beta),
+                        (beta - x0) / safe_beta)
+        # apply H = I - tau·v·vᵀ to the remaining panel columns
+        w = tau * jnp.einsum("ij,i->j", p, v, precision="highest")
+        w = jnp.where(cols > j, w, 0)
+        p = p - jnp.outer(v, w)
+        # column j becomes beta·e_j (R part); rows above j keep R values
+        newc = jnp.where(rows == j, beta, jnp.zeros_like(x))
+        newc = jnp.where(rows < j, p[:, j], newc)
+        p = p.at[:, j].set(newc)
+        V = V.at[:, j].set(v)
+        taus = taus.at[j].set(tau)
+        return p, V, taus
+
+    p, V, taus = jax.lax.fori_loop(0, b, body, (p, V0, taus0))
+    return V, taus, p
+
+
+def _form_t(V, taus):
+    """Compact-WY T factor: H_1···H_b = I − V·T·Vᵀ, T upper triangular."""
+    b = V.shape[1]
+    W = mm(mt(V), V)                                    # (b, b) Gram
+    cols = jnp.arange(b)
+
+    def body(j, T):
+        wj = W[:, j]
+        col = -taus[j] * jnp.einsum("ik,k->i", T, wj, precision="highest")
+        col = jnp.where(cols < j, col, 0)
+        col = jnp.where(cols == j, taus[j], col)
+        return T.at[:, j].set(col)
+
+    return jax.lax.fori_loop(0, b, body, jnp.zeros((b, b), V.dtype))
+
+
+def _qr_factor(a, panel=_PANEL):
+    """Blocked factorisation. Returns (R_packed, [(k, V, T), ...])."""
+    M, N = a.shape
+    K = min(M, N)
+    vts = []
+    for k in range(0, K, panel):
+        b = min(panel, K - k)
+        V, taus, pdone = _householder_panel(a[k:, k:k + b])
+        T = _form_t(V, taus)
+        vts.append((k, V, T))
+        if k + b < N:
+            trail = a[k:, k + b:]
+            w = mm(mt(V), trail)
+            w = mm(mt(T), w)
+            trail = trail - mm(V, w)
+        else:
+            trail = a[k:, k + b:]
+        a = jnp.concatenate(
+            [a[:k], jnp.concatenate([a[k:, :k], pdone, trail], axis=1)],
+            axis=0)
+    return a, vts
+
+
+def _apply_q(vts, B, transpose=False):
+    """B ← Q·B (or Qᵀ·B). Q = Π_i (I − V_i·T_i·V_iᵀ), panels applied in
+    reverse for Q, forward for Qᵀ."""
+    order = vts if transpose else list(reversed(vts))
+    for k, V, T in order:
+        sub = B[k:, :]
+        w = mm(mt(V), sub)
+        w = mm(mt(T), w) if transpose else mm(T, w)
+        B = jnp.concatenate([B[:k], sub - mm(V, w)], axis=0)
+    return B
+
+
+def _qr_core(a, economic: bool):
+    M, N = a.shape
+    K = min(M, N)
+    r, vts = _qr_factor(a)
+    ncols = K if economic else M
+    q = _apply_q(vts, jnp.eye(M, ncols, dtype=a.dtype))
+    r = jnp.triu(r[:K] if economic else r)
+    return q, r
+
+
+@batched((2,))
+def qr_decomp(a):
+    """Economic QR: A = Q·R, Q (..., M, K), R (..., K, N), K = min(M, N)
+    (ref: qr.js:80-145). Batched over leading dims."""
+    a = jnp.asarray(a)
+    a = a.astype(default_float_for(a.dtype))
+    return _qr_core(a, economic=True)
+
+
+@batched((2,))
+def qr_decomp_full(a):
+    """Full QR: Q (..., M, M), R (..., M, N) (ref: qr.js:27-77)."""
+    a = jnp.asarray(a)
+    a = a.astype(default_float_for(a.dtype))
+    return _qr_core(a, economic=False)
+
+
+def qr_lstsq(q, r, y):
+    """Least-squares solve from a QR factorisation: x = R⁻¹·Qᵀ·y
+    (ref: qr.js:186-273). Accepts economic or full Q/R; for full, only
+    the leading K columns/rows participate."""
+    q, r, y = jnp.asarray(q), jnp.asarray(r), jnp.asarray(y)
+    k = min(r.shape[-2], r.shape[-1])
+
+    @batched((2, 2, 2))
+    def _go(q, r, y):
+        qty = mm(mt(q[:, :k]), y.astype(q.dtype))
+        return triu_solve.core(r[:k, :k], qty, method="block")
+
+    return _go(q, r, y)
+
+
+def qr_solve(q, r, y):
+    """Exact-solve alias for square systems (matches the reference's use
+    of qr_lstsq on square inputs)."""
+    return qr_lstsq(q, r, y)

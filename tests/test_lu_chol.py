@@ -1,0 +1,121 @@
+"""LU / Cholesky / LDL contracts (ref: src/la/lu_test.js,
+cholesky_test.js, ldl_test.js)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nd4js_tpu import la
+from tests.utils import assert_all_close, assert_tril, assert_triu, TestRNG
+
+
+def test_lu_decomp_square():
+    rng = TestRNG("lu_square")
+    for n in [1, 2, 5, 16, 40, 130, 200]:
+        a = rng.matrix(n, n)
+        lu, p = la.lu_decomp(a)
+        lu, p = np.asarray(lu), np.asarray(p)
+        L = np.tril(lu, -1) + np.eye(n)
+        U = np.triu(lu)
+        assert_all_close(L @ U, a[p], rtol=1e-9, atol=1e-9,
+                         err_msg=f"n={n}")
+        assert sorted(p.tolist()) == list(range(n))
+
+
+def test_lu_decomp_rect():
+    rng = TestRNG("lu_rect")
+    for (m, n) in [(7, 3), (3, 7), (150, 40), (40, 150), (129, 131)]:
+        a = rng.matrix(m, n)
+        lu, p = la.lu_decomp(a)
+        lu, p = np.asarray(lu), np.asarray(p)
+        k = min(m, n)
+        L = np.tril(lu, -1)[:, :k] + np.eye(m, k)
+        U = np.triu(lu)[:k]
+        assert_all_close(L @ U, a[p], rtol=1e-9, atol=1e-9,
+                         err_msg=f"{m}x{n}")
+
+
+def test_lu_solve():
+    rng = TestRNG("lu_solve")
+    for n in [4, 32, 100]:
+        a = rng.matrix(n, n)
+        y = rng.matrix(n, 3)
+        lu, p = la.lu_decomp(a)
+        x = la.lu_solve(lu, p, y)
+        assert_all_close(a @ np.asarray(x), y, rtol=1e-7, atol=1e-7)
+
+
+def test_lu_batched():
+    rng = TestRNG("lu_batched")
+    a = rng.matrix(2, 3, 12, 12)
+    lu, p = la.lu_decomp(a)
+    assert lu.shape == (2, 3, 12, 12) and p.shape == (2, 3, 12)
+    y = rng.matrix(12, 2)
+    x = la.lu_solve(lu, p, y)
+    assert x.shape == (2, 3, 12, 2)
+    assert_all_close(np.einsum("abij,abjk->abik", a, np.asarray(x)),
+                     np.broadcast_to(y, (2, 3, 12, 2)), rtol=1e-8, atol=1e-8)
+
+
+def test_lu_needs_pivoting():
+    # matrix with zero in (0,0) requires pivoting
+    a = np.array([[0.0, 1.0], [1.0, 0.0]])
+    lu, p = la.lu_decomp(a)
+    L = np.tril(np.asarray(lu), -1) + np.eye(2)
+    U = np.triu(np.asarray(lu))
+    assert_all_close(L @ U, a[np.asarray(p)], atol=1e-14)
+
+
+def test_cholesky():
+    rng = TestRNG("chol")
+    for n in [1, 3, 16, 33, 100, 150]:
+        a = rng.spd(n, n)
+        L = np.asarray(la.cholesky_decomp(a))
+        assert_tril(L)
+        assert_all_close(L @ L.T, a, rtol=1e-9, atol=1e-9, err_msg=f"n={n}")
+
+
+def test_cholesky_solve():
+    rng = TestRNG("chol_solve")
+    n = 64
+    a = rng.spd(n, n)
+    y = rng.matrix(n, 5)
+    L = la.cholesky_decomp(a)
+    x = la.cholesky_solve(L, y)
+    assert_all_close(a @ np.asarray(x), y, rtol=1e-8, atol=1e-8)
+
+
+def test_cholesky_batched():
+    rng = TestRNG("chol_batched")
+    a = rng.spd(8, 20, 20)
+    L = np.asarray(la.cholesky_decomp(a))
+    assert_all_close(np.einsum("bij,bkj->bik", L, L), a,
+                     rtol=1e-9, atol=1e-9)
+
+
+def test_ldl():
+    rng = TestRNG("ldl")
+    for n in [2, 8, 30, 100]:
+        # symmetric, diagonally dominant (so unpivoted LDL is stable)
+        a = rng.matrix(n, n)
+        a = (a + a.T) / 2
+        a[np.arange(n), np.arange(n)] = np.abs(a).sum(axis=1) + 1
+        # make some indefinite: flip sign of the whole thing sometimes
+        if rng.bool():
+            a = -a
+        L, d = la.ldl_decomp(a)
+        L, d = np.asarray(L), np.asarray(d)
+        assert_tril(L)
+        assert_all_close(np.diag(L), 1.0, atol=1e-12)
+        assert_all_close((L * d) @ L.T, a, rtol=1e-9, atol=1e-9)
+
+
+def test_ldl_solve():
+    rng = TestRNG("ldl_solve")
+    n = 48
+    a = rng.matrix(n, n)
+    a = (a + a.T) / 2
+    a[np.arange(n), np.arange(n)] = np.abs(a).sum(axis=1) + 1
+    y = rng.matrix(n, 2)
+    L, d = la.ldl_decomp(a)
+    x = la.ldl_solve(L, d, y)
+    assert_all_close(a @ np.asarray(x), y, rtol=1e-8, atol=1e-8)

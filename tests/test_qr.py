@@ -1,0 +1,94 @@
+"""QR contracts — port of the reference generic QR suite
+(ref: src/la/qr_test.js:44-83, _generic_test_svd_decomp.js orthogonality
+bounds: ||QᵀQ−I||∞ ≤ eps·4·max(M,N), reconstruction)."""
+import numpy as np
+import pytest
+
+from nd4js_tpu import la
+from tests.utils import assert_all_close, assert_triu, TestRNG, eps
+
+
+def _check_qr(a, q, r, full):
+    m, n = a.shape
+    k = min(m, n)
+    q, r = np.asarray(q), np.asarray(r)
+    if full:
+        assert q.shape == (m, m) and r.shape == (m, n)
+    else:
+        assert q.shape == (m, k) and r.shape == (k, n)
+    tol = eps(a.dtype) * 4 * max(m, n)
+    orth = np.abs(q.T @ q - np.eye(q.shape[1])).max()
+    assert orth <= tol, f"orthogonality {orth} > {tol} for {m}x{n}"
+    assert_triu(r, atol=0.0)
+    recon = np.abs(q @ r - a).max()
+    rtol = eps(a.dtype) * 32 * max(m, n) * max(1.0, np.abs(a).max())
+    assert recon <= rtol, f"reconstruction {recon} > {rtol} for {m}x{n}"
+
+
+@pytest.mark.parametrize("full", [False, True])
+def test_qr_shapes_sweep(full):
+    rng = TestRNG(f"qr_sweep_{full}")
+    shapes = [(1, 1), (2, 3), (3, 2), (7, 7), (20, 5), (5, 20),
+              (64, 64), (130, 70), (70, 130), (150, 150), (260, 140)]
+    fn = la.qr_decomp_full if full else la.qr_decomp
+    for (m, n) in shapes:
+        a = rng.matrix(m, n, zeros_frac=0.05)
+        q, r = fn(a)
+        _check_qr(a, q, r, full)
+
+
+def test_qr_zero_matrix():
+    a = np.zeros((6, 4))
+    q, r = la.qr_decomp(a)
+    _check_qr(a, q, r, False)
+
+
+def test_qr_rank_deficient():
+    rng = TestRNG("qr_rankdef")
+    a, rank = rng.rankdef(40, 30)
+    q, r = la.qr_decomp(a)
+    _check_qr(a, q, r, False)
+
+
+def test_qr_batched():
+    rng = TestRNG("qr_batched")
+    a = rng.matrix(3, 4, 17, 11)
+    q, r = la.qr_decomp(a)
+    assert q.shape == (3, 4, 17, 11) and r.shape == (3, 4, 11, 11)
+    for i in range(3):
+        for j in range(4):
+            _check_qr(a[i, j], q[i, j], r[i, j], False)
+
+
+def test_qr_float32():
+    rng = TestRNG("qr_f32")
+    a = rng.matrix(100, 60, dtype=np.float32)
+    q, r = la.qr_decomp(a)
+    assert np.asarray(q).dtype == np.float32
+    _check_qr(a, q, r, False)
+
+
+def test_qr_lstsq_overdetermined():
+    rng = TestRNG("qr_lstsq")
+    m, n = 60, 25
+    a = rng.matrix(m, n)
+    x_true = rng.matrix(n, 3)
+    y = a @ x_true
+    q, r = la.qr_decomp(a)
+    x = la.qr_lstsq(q, r, y)
+    assert_all_close(x, x_true, rtol=1e-7, atol=1e-7)
+    # residual orthogonality for inconsistent rhs
+    y2 = y + rng.matrix(m, 3)
+    x2 = np.asarray(la.qr_lstsq(q, r, y2))
+    grad = a.T @ (a @ x2 - y2)
+    assert np.abs(grad).max() < 1e-8 * max(1, np.abs(y2).max()) * m
+
+
+def test_qr_lstsq_square_solve():
+    rng = TestRNG("qr_solve")
+    n = 50
+    a = rng.matrix(n, n) + 5 * np.eye(n)
+    y = rng.matrix(n, 2)
+    q, r = la.qr_decomp_full(a)
+    x = la.qr_solve(q, r, y)
+    assert_all_close(a @ np.asarray(x), y, rtol=1e-8, atol=1e-8)
