@@ -14,5 +14,10 @@ from .qr import qr_decomp, qr_decomp_full, qr_lstsq, qr_solve
 from .rrqr import (rrqr_decomp, rrqr_decomp_full, rrqr_rank,
                    rrqr_solve, rrqr_lstsq)
 from .singular_matrix_solve_error import SingularMatrixSolveError
+from .svd_jac import (svd_jac_1sided, svd_jac_classic, svd_jac_2sided,
+                      svd_jac_2sided_blocked)
+from .svd import svd_decomp, svd_rank, svd_solve, svd_lstsq, rank, lstsq
+from .solve import solve
+from .det import det, slogdet, det_tri, slogdet_tri
 from .cholesky import cholesky_decomp, cholesky_solve
 from .ldl import ldl_decomp, ldl_solve

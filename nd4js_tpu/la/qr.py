@@ -139,20 +139,100 @@ def _qr_core(a, economic: bool):
     return q, r
 
 
+def _cholqr2_panel(p, q_prev):
+    """Orthogonalise panel ``p`` against q_prev (BCGS2) and internally
+    (CholeskyQR2). Returns (q_new, r_top, r_diag)."""
+    from .cholesky import _chol_core
+    from .tri import _tril_inv_core as tinv
+    eps = jnp.finfo(p.dtype).eps
+
+    def cholqr(p):
+        g = mm(mt(p), p)
+        # tiny diagonal shift: keeps chol alive on nearly rank-deficient
+        # panels; reconstruction stays exact (Q·R == P by construction)
+        shift = 10 * eps * jnp.trace(g) / g.shape[0] + jnp.finfo(p.dtype).tiny
+        l = _chol_core(g + shift * jnp.eye(g.shape[0], dtype=p.dtype))
+        q = mm(p, mt(tinv(l)))
+        return q, mt(l)
+
+    if q_prev is not None:
+        s1 = mm(mt(q_prev), p)
+        p = p - mm(q_prev, s1)
+    else:
+        s1 = None
+    q1, r1 = cholqr(p)
+    if q_prev is not None:
+        s2 = mm(mt(q_prev), q1)
+        q1 = q1 - mm(q_prev, s2)
+    q2, r2 = cholqr(q1)
+    r_diag = mm(r2, r1)
+    r_top = None if s1 is None else s1 + mm(s2, r1)
+    return q2, r_top, r_diag
+
+
+def _qr_cholqr2_core(a, economic: bool):
+    """All-GEMM QR: blocked classical Gram-Schmidt with reorthogonal-
+    isation (BCGS2), CholeskyQR2 panels. ~2x the FLOPs of Householder
+    but zero sequential scalar work — every op is an MXU GEMM or the
+    log-depth Cholesky recursion. Orthogonality holds for
+    κ(A) ≲ 1/√eps(dtype); the Householder path remains the robust
+    default."""
+    M, N = a.shape
+    K = min(M, N)
+    q_panels = []
+    r_cols = []
+    q_prev = None
+    for k in range(0, K, _PANEL):
+        b = min(_PANEL, K - k)
+        qk, r_top, r_diag = _cholqr2_panel(a[:, k:k + b], q_prev)
+        block = [r_diag] if r_top is None else [r_top, r_diag]
+        if K - (k + b) > 0:
+            block.append(jnp.zeros((K - k - b, b), a.dtype))
+        r_cols.append(jnp.concatenate(block, axis=0))
+        q_panels.append(qk)
+        q_prev = jnp.concatenate(q_panels, axis=1)
+    r = jnp.concatenate(r_cols, axis=1)
+    if N > K:
+        r = jnp.concatenate([r, mm(mt(q_prev), a[:, K:])], axis=1)
+    q = q_prev
+    if not economic:
+        # extend Q to a full orthogonal basis: orthogonalise the residual
+        # of random columns (only needed for M > K)
+        if M > K:
+            extra = jnp.eye(M, M, dtype=a.dtype)[:, K:]
+            qe, _, _ = _cholqr2_panel(extra, q)
+            q = jnp.concatenate([q, qe], axis=1)
+        r = jnp.concatenate(
+            [r, jnp.zeros((M - K, N), a.dtype)], axis=0)
+    return q, jnp.triu(r)
+
+
 @batched((2,))
-def qr_decomp(a):
+def qr_decomp(a, method: str = "householder"):
     """Economic QR: A = Q·R, Q (..., M, K), R (..., K, N), K = min(M, N)
-    (ref: qr.js:80-145). Batched over leading dims."""
+    (ref: qr.js:80-145). Batched over leading dims.
+
+    method: 'householder' (robust default, compact-WY) or 'cholqr2'
+    (all-GEMM BCGS2+CholeskyQR2 — fastest on TPU, needs
+    κ(A) ≲ 1/√eps)."""
     a = jnp.asarray(a)
     a = a.astype(default_float_for(a.dtype))
+    if method == "cholqr2":
+        return _qr_cholqr2_core(a, economic=True)
+    if method != "householder":
+        raise ValueError(f"unknown method {method!r}")
     return _qr_core(a, economic=True)
 
 
 @batched((2,))
-def qr_decomp_full(a):
+def qr_decomp_full(a, method: str = "householder"):
     """Full QR: Q (..., M, M), R (..., M, N) (ref: qr.js:27-77)."""
     a = jnp.asarray(a)
     a = a.astype(default_float_for(a.dtype))
+    if method == "cholqr2":
+        return _qr_cholqr2_core(a, economic=False)
+    if method != "householder":
+        raise ValueError(f"unknown method {method!r}")
     return _qr_core(a, economic=False)
 
 

@@ -1,0 +1,11 @@
+"""Pallas TPU kernels — the native tier of the framework.
+
+The reference's native tier is its hand-scheduled flat-TypedArray inner
+loops (SURVEY.md §2: "the 'native tier' of the rebuild is Pallas/Mosaic
+kernels"). Each kernel here keeps its working set resident in VMEM for
+the whole factorisation panel, turning the reference's cache-blocking
+arguments (e.g. /root/reference/src/la/qr.js:53-57) into VMEM blocking.
+"""
+from .lu_panel import lu_panel
+
+__all__ = ["lu_panel"]

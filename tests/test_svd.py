@@ -1,0 +1,113 @@
+"""SVD contracts — port of the reference generic suite
+(/root/reference/src/la/_generic_test_svd_decomp.js:35-107): shapes,
+sorted non-negative singular values, orthogonality ≤ eps·4·max(M,N),
+reconstruction, then lstsq/rank/solve on compositions."""
+import numpy as np
+import pytest
+
+from nd4js_tpu import la
+from tests.utils import assert_all_close, TestRNG, eps
+
+
+def _check_svd(a, u, sv, v):
+    m, n = a.shape
+    k = min(m, n)
+    u, sv, v = np.asarray(u), np.asarray(sv), np.asarray(v)
+    assert u.shape == (m, k) and sv.shape == (k,) and v.shape == (k, n)
+    # sorted, non-negative
+    assert np.all(sv >= 0)
+    assert np.all(sv[:-1] >= sv[1:])
+    tol = eps(a.dtype) * 4 * max(m, n)
+    assert np.abs(u.T @ u - np.eye(k)).max() <= tol, "U orthogonality"
+    assert np.abs(v @ v.T - np.eye(k)).max() <= tol, "V orthogonality"
+    # reconstruction (reference: atol 1e-7 for float64)
+    atol = 1e-7 * max(1.0, np.abs(a).max()) if a.dtype == np.float64 \
+        else eps(a.dtype) * 32 * max(m, n) * max(1.0, np.abs(a).max())
+    assert np.abs((u * sv) @ v - a).max() <= atol, "reconstruction"
+    # singular values match numpy
+    sv_np = np.linalg.svd(a, compute_uv=False)
+    assert_all_close(sv, sv_np, rtol=1e-6, atol=atol)
+
+
+def test_svd_shapes_sweep():
+    rng = TestRNG("svd_sweep")
+    for (m, n) in [(1, 1), (2, 2), (3, 3), (5, 2), (2, 5), (16, 16),
+                   (31, 31), (40, 25), (25, 40), (70, 70), (129, 40)]:
+        a = rng.matrix(m, n, zeros_frac=0.05)
+        u, sv, v = la.svd_decomp(a)
+        _check_svd(a, u, sv, v)
+
+
+def test_svd_rank_deficient():
+    rng = TestRNG("svd_rankdef")
+    for trial in range(6):
+        m = rng.int(4, 40)
+        n = rng.int(4, 40)
+        a, r_true = rng.rankdef(m, n)
+        u, sv, v = la.svd_decomp(a)
+        _check_svd(a, u, sv, v)
+        assert int(la.svd_rank(sv)) == r_true
+
+
+def test_svd_zero_matrix():
+    a = np.zeros((5, 3))
+    u, sv, v = la.svd_decomp(a)
+    _check_svd(a, u, sv, v)
+    assert int(la.svd_rank(np.asarray(sv))) == 0
+
+
+def test_svd_batched():
+    rng = TestRNG("svd_batched")
+    a = rng.matrix(2, 3, 10, 8)
+    u, sv, v = la.svd_decomp(a)
+    assert u.shape == (2, 3, 10, 8) and sv.shape == (2, 3, 8) \
+        and v.shape == (2, 3, 8, 8)
+    for i in range(2):
+        for j in range(3):
+            _check_svd(a[i, j], u[i, j], sv[i, j], v[i, j])
+
+
+def test_svd_float32():
+    rng = TestRNG("svd_f32")
+    a = rng.matrix(60, 60, dtype=np.float32)
+    u, sv, v = la.svd_decomp(a)
+    assert np.asarray(u).dtype == np.float32
+    _check_svd(a, u, sv, v)
+
+
+def test_svd_lstsq_minimum_norm():
+    rng = TestRNG("svd_lstsq")
+    m, n = 30, 20
+    a, r = rng.rankdef(m, n, rank=12)
+    x0 = rng.matrix(n, 1)
+    y = a @ x0
+    x = np.asarray(la.lstsq(a, y))
+    # consistent system: residual ~ 0
+    assert_all_close(a @ x, y, rtol=1e-8, atol=1e-8)
+    # minimum-norm: x orthogonal to null(A) ⇒ x = A⁺·y unique
+    x_np, *_ = np.linalg.lstsq(a, y, rcond=None)
+    assert_all_close(x, x_np, rtol=1e-6, atol=1e-8)
+
+
+def test_svd_solve_and_rank():
+    rng = TestRNG("svd_solve")
+    n = 24
+    a = rng.matrix(n, n) + 4 * np.eye(n)
+    y = rng.matrix(n, 2)
+    u, sv, v = la.svd_decomp(a)
+    x = la.svd_solve(u, sv, v, y)
+    assert_all_close(a @ np.asarray(x), y, rtol=1e-8, atol=1e-8)
+    assert int(la.rank(a)) == n
+    a_sing, r_true = rng.rankdef(n, n, rank=17)
+    us, svs, vs = la.svd_decomp(a_sing)
+    with pytest.raises(la.SingularMatrixSolveError):
+        la.svd_solve(us, svs, vs, y)
+
+
+def test_svd_variant_aliases():
+    rng = TestRNG("svd_variants")
+    a = rng.matrix(12, 9)
+    for fn in [la.svd_jac_classic, la.svd_jac_2sided,
+               la.svd_jac_2sided_blocked]:
+        u, sv, v = fn(a)
+        _check_svd(a, u, sv, v)
