@@ -19,5 +19,13 @@ from .svd_jac import (svd_jac_1sided, svd_jac_classic, svd_jac_2sided,
 from .svd import svd_decomp, svd_rank, svd_solve, svd_lstsq, rank, lstsq
 from .solve import solve
 from .det import det, slogdet, det_tri, slogdet_tri
+from .eigh import eigh, eigh_jacobi
+from .hessenberg import hessenberg_decomp
+from .schur import schur_decomp, schur_eigenvals, schur_eigen
+from .eigen import eigen, eigenvals, eigen_balance_pre
+from .bidiag import bidiag_decomp
+from .srrqr import srrqr_decomp_full, srrqr_rank
+from .urv import urv_decomp_full, urv_lstsq
+from .pldlp import pldlp_decomp, pldlp_l, pldlp_d, pldlp_p, pldlp_solve
 from .cholesky import cholesky_decomp, cholesky_solve
 from .ldl import ldl_decomp, ldl_solve

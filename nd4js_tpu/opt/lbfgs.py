@@ -1,0 +1,171 @@
+"""L-BFGS minimisation drivers.
+
+Parity with /root/reference/src/opt/lbfgs.js: `min_lbfgs_gen` (:41, the
+infinite generator yielding [x, f, ∇f] — the *user* owns convergence,
+SURVEY.md §2.4), `lsq_lbfgs_gen` (:224) and `fit_lbfgs_gen` (:463)
+adapters, and the recovery behaviour: a failed line search forgets half
+the history and retries (:208-214).
+
+TPU-first design: the per-iteration step is one jitted pure function of
+a flat pytree state (compiled once, dispatched per yield); a fully
+in-graph ``lbfgs_minimize`` driver wraps the same step in a
+``lax.while_loop`` with gradient/step tolerances for zero-dispatch
+optimisation. Gradients default to ``jax.grad`` when the user supplies
+only f (the reference requires hand-written gradients; we verify
+user-supplied ones against num_grad in tests exactly like the reference
+suite does).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ._lbfgs_solver import (LBFGSState, lbfgs_init, lbfgs_update,
+                            lbfgs_forget, lbfgs_hv)
+from .line_search._wolfe import wolfe_line_search
+
+__all__ = ["min_lbfgs_gen", "lbfgs_minimize", "lsq_lbfgs_gen",
+           "fit_lbfgs_gen"]
+
+
+class _MinState(NamedTuple):
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    mem: LBFGSState
+    it: jax.Array
+    fails: jax.Array
+
+
+def _ensure_fg(fg_or_f) -> Callable:
+    """Accept fg(x)->(f,g) or f(x)->f (grad via AD)."""
+    def fg(x):
+        out = fg_or_f(x)
+        if isinstance(out, tuple):
+            return out
+        raise TypeError
+    try:
+        # cheap structural probe: does it return a tuple?
+        import inspect  # noqa
+        return fg_or_f if _returns_pair(fg_or_f) else \
+            lambda x: (fg_or_f(x), jax.grad(fg_or_f)(x))
+    except Exception:
+        return fg_or_f
+
+
+def _returns_pair(f):
+    try:
+        out = jax.eval_shape(f, jnp.zeros((1,)))
+        return isinstance(out, tuple) and len(out) == 2
+    except Exception:
+        try:
+            out = jax.eval_shape(f, jnp.zeros(()))
+            return isinstance(out, tuple) and len(out) == 2
+        except Exception:
+            return False
+
+
+def _lbfgs_step(fg, st: _MinState, m: int) -> _MinState:
+    neg_dir = lbfgs_hv(st.mem, st.g)     # H·g — descent dir is −H·g
+    # first-iteration scaling: cautious step along the raw gradient
+    gnorm = jnp.sqrt(jnp.vdot(st.g, st.g))
+    scale = jnp.where(st.mem.count == 0,
+                      1.0 / jnp.maximum(gnorm, 1.0), 1.0)
+    neg_dir = neg_dir * scale
+    x, f, g, alpha, ok = wolfe_line_search(
+        fg, st.x, st.f, st.g, neg_dir, c1=1e-4, c2=0.9)
+
+    def success(st):
+        dx = x - st.x
+        dg = g - st.g
+        mem = lbfgs_update(st.mem, dx, dg)
+        return _MinState(x=x, f=f, g=g, mem=mem, it=st.it + 1,
+                         fails=jnp.zeros((), jnp.int32))
+
+    def failure(st):
+        # forget half the history and retry from the same point
+        # (ref: lbfgs.js:208-214)
+        mem = lbfgs_forget(st.mem, (st.mem.s.shape[0] + 1) // 2)
+        return st._replace(mem=mem, it=st.it + 1, fails=st.fails + 1)
+
+    improved = ok & (f < st.f)
+    return jax.lax.cond(improved, success, failure, st)
+
+
+def min_lbfgs_gen(fg, x0, hist_size: int = 8):
+    """Infinite generator yielding (x, f, ∇f) per iteration
+    (ref: lbfgs.js:41). The user owns the convergence test, exactly like
+    the reference idiom (examples/beer_foam_half_life.html:44-46)."""
+    fg = _ensure_fg(fg)
+    x0 = jnp.asarray(x0)
+    f0, g0 = fg(x0)
+    st = _MinState(x=x0, f=jnp.asarray(f0), g=jnp.asarray(g0),
+                   mem=lbfgs_init(hist_size, x0.size, x0.dtype),
+                   it=jnp.zeros((), jnp.int32),
+                   fails=jnp.zeros((), jnp.int32))
+    step = jax.jit(functools.partial(_lbfgs_step, fg, m=hist_size))
+    while True:
+        yield st.x, st.f, st.g
+        st = step(st)
+
+
+def lbfgs_minimize(fg, x0, hist_size: int = 8, gtol: float = 1e-8,
+                   max_iter: int = 500):
+    """Fully in-graph L-BFGS: one jit, zero per-iteration dispatch.
+
+    Returns (x, f, g, n_iter). jit/vmap-compatible.
+    """
+    fg = _ensure_fg(fg)
+    x0 = jnp.asarray(x0)
+    f0, g0 = fg(x0)
+    st0 = _MinState(x=x0, f=jnp.asarray(f0), g=jnp.asarray(g0),
+                    mem=lbfgs_init(hist_size, x0.size, x0.dtype),
+                    it=jnp.zeros((), jnp.int32),
+                    fails=jnp.zeros((), jnp.int32))
+
+    def cond(st):
+        gnorm = jnp.max(jnp.abs(st.g))
+        return (st.it < max_iter) & (gnorm > gtol) & (st.fails < 3)
+
+    st = jax.lax.while_loop(
+        cond, lambda st: _lbfgs_step(fg, st, hist_size), st0)
+    return st.x, st.f, st.g, st.it
+
+
+def _lsq_fg(fJ):
+    """Least-squares adapter: fJ(x) -> (residuals F, jacobian J);
+    loss = mean(F²), grad = 2/M·Jᵀ·F (ref: lbfgs.js:224)."""
+    def fg(x):
+        F, J = fJ(x)
+        m = F.size
+        f = jnp.sum(F * F) / m
+        g = 2.0 / m * jnp.einsum(
+            "ij,i->j", J.reshape(m, -1), F.reshape(-1),
+            precision="highest")
+        return f, g.reshape(jnp.shape(x))
+    return fg
+
+
+def lsq_lbfgs_gen(fJ, x0, **kw):
+    """Least-squares L-BFGS generator (ref: lbfgs.js:224): yields
+    (x, mse, ∇mse)."""
+    return min_lbfgs_gen(_lsq_fg(fJ), x0, **kw)
+
+
+def fit_lbfgs_gen(x, y, f, p0, jac=None, **kw):
+    """Curve-fit adapter (ref: lbfgs.js:463): minimise
+    mean((f(p, x) − y)²) over parameters p. ``f(p, x)`` vectorised over
+    x; the Jacobian defaults to ``jax.jacobian``."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+
+    def fJ(p):
+        F = f(p, x) - y
+        J = (jac(p, x) if jac is not None
+             else jax.jacobian(lambda q: f(q, x))(p))
+        return F, J
+
+    return lsq_lbfgs_gen(fJ, jnp.asarray(p0), **kw)

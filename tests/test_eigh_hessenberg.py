@@ -1,0 +1,76 @@
+"""Symmetric eig + Hessenberg contracts (ref: src/la/hessenberg_test.js;
+eigh is the capability nd4js lacks, tested against numpy)."""
+import numpy as np
+import pytest
+
+from nd4js_tpu import la
+from tests.utils import assert_all_close, assert_hessenberg, TestRNG, eps
+
+
+def test_eigh_random_symmetric():
+    rng = TestRNG("eigh")
+    for n in [1, 2, 3, 5, 16, 33, 64, 101]:
+        a = rng.matrix(n, n)
+        a = (a + a.T) / 2
+        w, v = la.eigh(a)
+        w, v = np.asarray(w), np.asarray(v)
+        assert np.all(np.diff(w) >= 0)
+        tol = eps(a.dtype) * 4 * n
+        assert np.abs(v.T @ v - np.eye(n)).max() <= max(tol, 1e-14), f"n={n}"
+        assert_all_close((v * w) @ v.T, a, rtol=0,
+                         atol=1e-10 * max(1, np.abs(a).max()) * n)
+        w_np = np.linalg.eigvalsh(a)
+        assert_all_close(w, w_np, rtol=1e-9, atol=1e-10)
+
+
+def test_eigh_degenerate():
+    # repeated eigenvalues
+    a = np.diag([2.0, 2.0, 2.0, 1.0])
+    w, v = la.eigh(a)
+    assert_all_close(np.asarray(w), [1, 2, 2, 2.0], atol=1e-12)
+    v = np.asarray(v)
+    assert np.abs(v.T @ v - np.eye(4)).max() < 1e-12
+
+
+def test_eigh_batched():
+    rng = TestRNG("eigh_batched")
+    a = rng.matrix(4, 12, 12)
+    a = (a + np.swapaxes(a, -1, -2)) / 2
+    w, v = la.eigh(a)
+    assert w.shape == (4, 12) and v.shape == (4, 12, 12)
+    for i in range(4):
+        assert_all_close(np.asarray(v[i]) * np.asarray(w[i]) @ np.asarray(v[i]).T,
+                         a[i], atol=1e-10)
+
+
+def test_eigh_spd_matches_cholesky_logdet():
+    rng = TestRNG("eigh_spd")
+    a = rng.spd(20, 20)
+    w, _ = la.eigh(a)
+    assert np.all(np.asarray(w) > 0)
+    _, logdet = la.slogdet(a)
+    assert_all_close(float(np.log(np.asarray(w)).sum()), float(logdet),
+                     rtol=1e-8)
+
+
+def test_hessenberg():
+    rng = TestRNG("hessenberg")
+    for n in [1, 2, 3, 4, 10, 33, 80]:
+        a = rng.matrix(n, n)
+        q, h = la.hessenberg_decomp(a)
+        q, h = np.asarray(q), np.asarray(h)
+        tol = eps(a.dtype) * 4 * max(2, n)
+        assert np.abs(q.T @ q - np.eye(n)).max() <= tol
+        assert_hessenberg(h, atol=0.0)
+        assert_all_close(q @ h @ q.T, a, rtol=0,
+                         atol=1e-12 * max(1, np.abs(a).max()) * max(1, n) * 10)
+
+
+def test_hessenberg_batched():
+    rng = TestRNG("hess_batched")
+    a = rng.matrix(3, 9, 9)
+    q, h = la.hessenberg_decomp(a)
+    assert q.shape == (3, 9, 9)
+    for i in range(3):
+        assert_all_close(np.asarray(q[i]) @ np.asarray(h[i]) @ np.asarray(q[i]).T,
+                         a[i], atol=1e-10)

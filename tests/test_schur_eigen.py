@@ -1,0 +1,97 @@
+"""Schur + eigen contracts (ref: src/la/schur_test.js, eigen_test.js):
+orthogonality, quasi-triangular structure, reconstruction, eigenvalue
+multiset vs numpy, eigenpair residuals, balancing."""
+import numpy as np
+import pytest
+
+from nd4js_tpu import la
+from tests.utils import assert_all_close, TestRNG, eps
+
+
+def _match_eigvals(lam, lam_np, tol):
+    """Multiset comparison via greedy nearest matching."""
+    lam = list(np.asarray(lam))
+    for w in lam_np:
+        d = [abs(x - w) for x in lam]
+        i = int(np.argmin(d))
+        assert d[i] <= tol, f"eigenvalue {w} unmatched (best {d[i]})"
+        lam.pop(i)
+
+
+def test_schur_contract():
+    rng = TestRNG("schur")
+    for n in [1, 2, 3, 4, 7, 16, 33, 50]:
+        a = rng.matrix(n, n)
+        q, t = la.schur_decomp(a)
+        q, t = np.asarray(q), np.asarray(t)
+        tol = eps(a.dtype) * 4 * max(2, n)
+        assert np.abs(q.T @ q - np.eye(n)).max() <= tol, f"orth n={n}"
+        assert np.abs(np.tril(t, -2)).max() == 0.0, f"structure n={n}"
+        # no two adjacent nonzero subdiagonals (quasi-triangular)
+        s = np.abs(np.diag(t, -1)) > 0
+        if n > 2:
+            assert not np.any(s[:-1] & s[1:]), f"adjacent blocks n={n}"
+        assert_all_close(q @ t @ q.T, a, rtol=0,
+                         atol=1e-11 * max(1, np.abs(a).max()) * max(1, n))
+        _match_eigvals(la.schur_eigenvals(t), np.linalg.eigvals(a),
+                       tol=1e-9 * max(1, np.abs(a).max()) * n)
+
+
+def test_schur_repeated_eigenvalues():
+    # defective-ish: Jordan-like structure
+    a = np.array([[2.0, 1.0, 0.0],
+                  [0.0, 2.0, 1.0],
+                  [0.0, 0.0, 2.0]])
+    p = TestRNG("schur_rep").ortho(3, 3)
+    b = p @ a @ p.T
+    q, t = la.schur_decomp(b)
+    assert_all_close(np.asarray(q) @ np.asarray(t) @ np.asarray(q).T, b,
+                     atol=1e-10)
+
+
+def test_schur_eigen_pairs():
+    rng = TestRNG("schur_eigen")
+    for n in [2, 5, 12, 30]:
+        a = rng.matrix(n, n)
+        q, t = la.schur_decomp(a)
+        lam, v = la.schur_eigen(q, t)
+        lam, v = np.asarray(lam), np.asarray(v)
+        # eigen residual on the *balanced-free* matrix
+        resid = np.abs(a @ v - v * lam[None, :]).max()
+        assert resid <= 1e-10 * max(1, np.abs(a).max()) * n, f"n={n}"
+        # columns normalised
+        assert_all_close(np.linalg.norm(v, axis=0), 1.0, atol=1e-12)
+
+
+def test_eigen_full_pipeline():
+    rng = TestRNG("eigen")
+    for n in [3, 10, 25]:
+        a = rng.matrix(n, n)
+        lam, v = la.eigen(a)
+        lam, v = np.asarray(lam), np.asarray(v)
+        resid = np.abs(a @ v - v * lam[None, :]).max()
+        assert resid <= 1e-10 * max(1, np.abs(a).max()) * n
+        _match_eigvals(lam, np.linalg.eigvals(a), tol=1e-8 * n)
+
+
+def test_eigenvals_batched():
+    rng = TestRNG("eigenvals_batched")
+    a = rng.matrix(3, 10, 10)
+    lam = np.asarray(la.eigenvals(a))
+    assert lam.shape == (3, 10)
+    for i in range(3):
+        _match_eigvals(lam[i], np.linalg.eigvals(a[i]), tol=1e-8 * 10)
+
+
+def test_eigen_balance():
+    # badly scaled matrix: balancing must keep eigen accurate
+    a = np.array([[1e8, 1e-6, 0.0],
+                  [1e6, 1.0, 1e-4],
+                  [0.0, 1e2, 1e-8]])
+    d, b = la.eigen_balance_pre(a)
+    d, b = np.asarray(d), np.asarray(b)
+    assert_all_close(b, a / d[:, None] * d[None, :], rtol=1e-12)
+    lam, v = la.eigen(a)
+    lam, v = np.asarray(lam), np.asarray(v)
+    resid = np.abs(a @ v - v * lam[None, :]).max()
+    assert resid <= 1e-7 * np.abs(a).max()
