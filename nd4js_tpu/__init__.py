@@ -16,5 +16,21 @@ from . import config, dt
 from .core import (array, asarray, tabulate, zip_elems, concat, stack,
                    map_elems, reduce_elems, slice_elems)
 from . import la
+from . import opt
+from . import rand
+from . import io
+from . import utils
+from . import parallel
+from .utils import (linspace, cartesian_prod, KDTree, odeint_rk4,
+                    regular_simplex)
+from .core.wrapper import NDArray, wrap
+from .help import help
+
+# flat namespace aliases matching /root/reference/src/index.js
+iter = utils.iter
+spatial = utils.spatial
+geom = utils.geom
+integrate = utils.integrate
+arrays = utils.arrays
 
 __version__ = "0.1.0"

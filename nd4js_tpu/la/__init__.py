@@ -29,3 +29,7 @@ from .urv import urv_decomp_full, urv_lstsq
 from .pldlp import pldlp_decomp, pldlp_l, pldlp_d, pldlp_p, pldlp_solve
 from .cholesky import cholesky_decomp, cholesky_solve
 from .ldl import ldl_decomp, ldl_solve
+from .misc import transpose_inplace
+from ..rand.rng import rand_ortho
+from .svd_dc import svd_dc
+from .tridiag_dc import tridiag_eigh_dc

@@ -70,7 +70,7 @@ def wolfe_line_search(fg, x0, f0, g0, neg_dir, c1=1e-4, c2=0.9,
             is_b,
             jnp.where(b_done, _DONE,
                       jnp.where(b_zoom1 | b_zoom2, _ZOOM, _BRACKET)),
-            jnp.where(z_done, _DONE, _ZOOM))
+            jnp.where(z_done, _DONE, _ZOOM)).astype(jnp.int32)
 
         # zoom interval bookkeeping
         a_lo = jnp.where(

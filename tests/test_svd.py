@@ -111,3 +111,41 @@ def test_svd_variant_aliases():
                la.svd_jac_2sided_blocked]:
         u, sv, v = fn(a)
         _check_svd(a, u, sv, v)
+
+
+def test_svd_dc_contract():
+    """svd_dc through the same generic contract as the default SVD."""
+    rng = TestRNG("svd_dc")
+    for (m, n) in [(1, 1), (3, 3), (9, 6), (6, 9), (40, 40), (65, 50)]:
+        a = rng.matrix(m, n, zeros_frac=0.05)
+        u, sv, v = la.svd_dc(a)
+        _check_svd(a, u, sv, v)
+
+
+def test_svd_dc_rank_deficient():
+    rng = TestRNG("svd_dc_rankdef")
+    a, r_true = rng.rankdef(30, 22, rank=9)
+    u, sv, v = la.svd_dc(a)
+    _check_svd(a, u, sv, v)
+    assert int(la.svd_rank(np.asarray(sv))) == r_true
+
+
+def test_svd_dc_batched_f32():
+    rng = TestRNG("svd_dc_f32")
+    a = rng.matrix(4, 48, 48, dtype=np.float32)
+    u, sv, v = la.svd_dc(a)
+    assert np.asarray(u).dtype == np.float32
+    for i in range(4):
+        _check_svd(a[i], u[i], sv[i], v[i])
+
+
+def test_tridiag_eigh_dc():
+    rng = TestRNG("tdc")
+    for n in [5, 40, 129]:
+        d = rng.normal(n)
+        e = rng.normal(n - 1)
+        w, v = la.tridiag_eigh_dc(d, e)
+        w, v = np.asarray(w), np.asarray(v)
+        T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+        assert np.abs(v.T @ v - np.eye(n)).max() < eps(np.float64) * 8 * n
+        assert_all_close(w, np.linalg.eigvalsh(T), rtol=1e-10, atol=1e-12)
