@@ -38,6 +38,10 @@ def _resolve_dtype(dtype):
     if dtype is None:
         return None
     if isinstance(dtype, str):
+        if dtype not in dt.ARRAY_TYPES:
+            raise ValueError(
+                f"Invalid dtype '{dtype}'. Must be one of "
+                f"{sorted(dt.ARRAY_TYPES)} (ref: dt/index.js:55).")
         return dt.ARRAY_TYPES[dtype]
     return jnp.dtype(dtype)
 

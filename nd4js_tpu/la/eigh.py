@@ -125,6 +125,36 @@ def eigh_jacobi(a, max_sweeps: int = 30):
     return w[order], v[:, order]
 
 
-def eigh(a, max_sweeps: int = 30):
-    """Alias for :func:`eigh_jacobi` (NumPy-style name)."""
+def eigh_via_svd(a):
+    """Symmetric eigendecomposition through the SVD — the
+    batched-throughput path for BASELINE config 4.
+
+    A is shifted positive-definite first: B = A + c·I with
+    c = ‖A‖_F ≥ ρ(A), so B's singular triplets ARE its eigenpairs
+    (no ±λ sign ambiguity — the naive λ = σ·sign(uᵀv) trick breaks when
+    |λᵢ| ≈ |λⱼ| collide and the SVD mixes the eigenspaces). Then
+    λ = σ − c. Absolute accuracy eps·c on small eigenvalues — within
+    the library contracts; use method='jacobi' for tiny-λ fidelity."""
+    from .svd import svd_decomp
+    a = jnp.asarray(a)
+    a = a.astype(default_float_for(a.dtype))
+    a = (a + mt(a)) * 0.5
+    n = a.shape[-1]
+    c = jnp.sqrt(jnp.sum(a * a, axis=(-2, -1), keepdims=True)) \
+        + jnp.finfo(a.dtype).tiny
+    b = a + c * jnp.eye(n, dtype=a.dtype)
+    u, sv, v = svd_decomp(b)
+    w = sv - c[..., 0]
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    vec = jnp.take_along_axis(u, order[..., None, :], axis=-1)
+    return w, vec
+
+
+def eigh(a, max_sweeps: int = 30, method: str = "jacobi"):
+    """Symmetric eigendecomposition, A = V·diag(w)·Vᵀ, w ascending
+    (NumPy-style name). method: 'jacobi' (default) or 'via_svd'
+    (throughput path)."""
+    if method == "via_svd":
+        return eigh_via_svd(a)
     return eigh_jacobi(a, max_sweeps=max_sweeps)

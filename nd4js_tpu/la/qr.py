@@ -207,33 +207,112 @@ def _qr_cholqr2_core(a, economic: bool):
     return q, jnp.triu(r)
 
 
-@batched((2,))
+def _form_t_batched(V, taus):
+    """Compact-WY T for batched reflector stores (..., M, b), via the
+    closed form T = (diag(1/τ) + striu(VᵀV))⁻¹ — verified identity for
+    the forward product H_0···H_{b−1} = I − V·T·Vᵀ. One Gram GEMM plus
+    a log-depth triangular inversion instead of a b-step fori_loop
+    (which round-trips HBM every step). Null reflectors (τ = 0) are
+    handled by masking their V columns, which zeroes their T coupling.
+
+    Returns (V_masked, T) — use V_masked for all V·T·Vᵀ applications.
+    """
+    from .tri import _tril_inv_core
+    b = V.shape[-1]
+    live = taus != 0
+    V = V * live[..., None, :].astype(V.dtype)
+    W = mm(mt(V), V)
+    inv_tau = jnp.where(live, 1.0 / jnp.where(live, taus, 1.0), 1.0)
+    U = jnp.triu(W, 1) + inv_tau[..., None, :] * jnp.eye(b, dtype=V.dtype)
+    # upper-triangular inverse via the reversed lower-tri inversion
+    T = _tril_inv_core(U[..., ::-1, ::-1])[..., ::-1, ::-1]
+    return V, T
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _qr_factor_batched(a3, panel=_PANEL):
+    """Blocked Householder factorisation of (Bn, M, N) with the Pallas
+    VMEM panel kernel (ops/house_panel.py). Returns (R_packed, vts)."""
+    from ..ops.house_panel import house_panel
+    interp = _use_interpret()
+    Bn, M, N = a3.shape
+    K = min(M, N)
+    vts = []
+    for k in range(0, K, panel):
+        b = min(panel, K - k)
+        rpan, V, taus = house_panel(a3[:, k:, k:k + b], interpret=interp)
+        V, T = _form_t_batched(V, taus)
+        vts.append((k, V, T))
+        if k + b < N:
+            trail = a3[:, k:, k + b:]
+            w = mm(mt(V), trail)
+            w = mm(mt(T), w)
+            trail = trail - mm(V, w)
+        else:
+            trail = a3[:, k:, k + b:]
+        bottom = jnp.concatenate([a3[:, k:, :k], rpan, trail], axis=2)
+        a3 = jnp.concatenate([a3[:, :k], bottom], axis=1)
+    return a3, vts
+
+
+def _apply_q_batched(vts, Bmat, transpose=False):
+    order = vts if transpose else list(reversed(vts))
+    for k, V, T in order:
+        sub = Bmat[:, k:, :]
+        w = mm(mt(V), sub)
+        w = mm(mt(T), w) if transpose else mm(T, w)
+        Bmat = jnp.concatenate([Bmat[:, :k], sub - mm(V, w)], axis=1)
+    return Bmat
+
+
+def _qr_batched(a, economic: bool):
+    """Natively-batched public QR path (leading dims flattened to one
+    batch axis; the panel runs in VMEM via Pallas)."""
+    import math as _math
+    lead = a.shape[:-2]
+    M, N = a.shape[-2:]
+    K = min(M, N)
+    a3 = a.reshape((max(1, _math.prod(lead)), M, N))
+    r, vts = _qr_factor_batched(a3)
+    ncols = K if economic else M
+    eye = jnp.broadcast_to(jnp.eye(M, ncols, dtype=a.dtype),
+                           (a3.shape[0], M, ncols))
+    q = _apply_q_batched(vts, eye)
+    r = jnp.triu(r[:, :K] if economic else r)
+    q = q.reshape(lead + (M, ncols))
+    r = r.reshape(lead + (r.shape[-2], N))
+    return q, r
+
+
+def _qr_public(a, economic: bool, method: str):
+    a = jnp.asarray(a)
+    a = a.astype(default_float_for(a.dtype))
+    if a.ndim < 2:
+        raise ValueError("qr_decomp expects ndim >= 2")
+    if method == "cholqr2":
+        return batched((2,))(
+            lambda x: _qr_cholqr2_core(x, economic=economic))(a)
+    if method != "householder":
+        raise ValueError(f"unknown method {method!r}")
+    return _qr_batched(a, economic=economic)
+
+
 def qr_decomp(a, method: str = "householder"):
     """Economic QR: A = Q·R, Q (..., M, K), R (..., K, N), K = min(M, N)
     (ref: qr.js:80-145). Batched over leading dims.
 
-    method: 'householder' (robust default, compact-WY) or 'cholqr2'
-    (all-GEMM BCGS2+CholeskyQR2 — fastest on TPU, needs
-    κ(A) ≲ 1/√eps)."""
-    a = jnp.asarray(a)
-    a = a.astype(default_float_for(a.dtype))
-    if method == "cholqr2":
-        return _qr_cholqr2_core(a, economic=True)
-    if method != "householder":
-        raise ValueError(f"unknown method {method!r}")
-    return _qr_core(a, economic=True)
+    method: 'householder' (robust default; compact-WY with the panel
+    factorisation in a Pallas VMEM kernel) or 'cholqr2' (all-GEMM
+    BCGS2+CholeskyQR2 — needs κ(A) ≲ 1/√eps)."""
+    return _qr_public(a, economic=True, method=method)
 
 
-@batched((2,))
 def qr_decomp_full(a, method: str = "householder"):
     """Full QR: Q (..., M, M), R (..., M, N) (ref: qr.js:27-77)."""
-    a = jnp.asarray(a)
-    a = a.astype(default_float_for(a.dtype))
-    if method == "cholqr2":
-        return _qr_cholqr2_core(a, economic=False)
-    if method != "householder":
-        raise ValueError(f"unknown method {method!r}")
-    return _qr_core(a, economic=False)
+    return _qr_public(a, economic=False, method=method)
 
 
 def qr_lstsq(q, r, y):

@@ -25,9 +25,21 @@ __all__ = ["svd_decomp", "svd_rank", "svd_solve", "svd_lstsq",
            "rank", "lstsq"]
 
 
-def svd_decomp(a, **kw):
-    """Default SVD: A = U·diag(sv)·V (ref: svd.js:25). Batched."""
-    return svd_jac_1sided(a, **kw)
+def svd_decomp(a, method: str = "jacobi", **kw):
+    """Default SVD: A = U·diag(sv)·V (ref: svd.js:25). Batched.
+
+    method: 'jacobi' (element-level one-sided — highest accuracy,
+    default), 'blocked' (MXU block Jacobi — the batched-throughput
+    path), or 'dc' (divide & conquer)."""
+    if method == "jacobi":
+        return svd_jac_1sided(a, **kw)
+    if method == "blocked":
+        from .svd_block_jac import svd_jac_blocked
+        return svd_jac_blocked(a, **kw)
+    if method == "dc":
+        from .svd_dc import svd_dc
+        return svd_dc(a, **kw)
+    raise ValueError(f"unknown method {method!r}")
 
 
 def svd_rank(sv, tol=None):

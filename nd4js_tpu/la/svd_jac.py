@@ -159,16 +159,85 @@ def _svd_1sided_core(a, max_sweeps: int = 24):
     return _svd_square(a, max_sweeps)
 
 
-@batched((2,))
+def _svd_square_batched(a3, max_sweeps: int):
+    """Natively-batched Jacobi SVD of square (Bn, N, N) via the Pallas
+    full-sweep kernel (ops/jacobi_sweep.py): one kernel invocation per
+    sweep, convergence checked between sweeps, W/V VMEM-resident for
+    all N−1 rounds of each sweep."""
+    from ..ops.jacobi_sweep import jacobi_sweeps
+    interp = jax.default_backend() == "cpu"
+    Bn, N, _ = a3.shape
+    eps = jnp.finfo(a3.dtype).eps
+    pad = N % 2
+    w = a3
+    if pad:
+        w = jnp.concatenate([w, jnp.zeros((Bn, N, 1), a3.dtype)], -1)
+    n2 = N + pad
+    v = jnp.broadcast_to(jnp.eye(n2, dtype=a3.dtype), (Bn, n2, n2))
+    tol = eps * N
+
+    def cond(st):
+        w, v, off, i = st
+        return (i < max_sweeps) & (jnp.max(off) > tol)
+
+    def body(st):
+        w, v, _, i = st
+        w, v, off = jacobi_sweeps(w, v, 1, interpret=interp)
+        return w, v, off, i + 1
+
+    w, v, _, _ = jax.lax.while_loop(
+        cond, body, (w, v, jnp.full((Bn, 8, 128), jnp.inf, a3.dtype),
+                     jnp.zeros((), jnp.int32)))
+    sv = jnp.sqrt(jnp.sum(w * w, axis=1))
+    order = jnp.argsort(-sv, axis=-1)[..., :N]
+    sv = jnp.take_along_axis(sv, order, axis=-1)
+    w = jnp.take_along_axis(w, order[:, None, :], axis=-1)
+    v = jnp.take_along_axis(v, order[:, None, :], axis=-1)[:, :N, :]
+    safe = jnp.where(sv > 0, sv, jnp.ones_like(sv))
+    u = w / safe[:, None, :]
+    u = jax.vmap(lambda uu, ss: _complete_u(
+        uu, ss, tol_rank=eps * N * jnp.max(ss)))(u, sv)
+    return u, sv, mt(v)
+
+
 def svd_jac_1sided(a, max_sweeps: int = 24):
     """One-sided Jacobi SVD (see module docstring). Batched.
 
     Returns (U (...,M,K), sv (...,K), V (...,K,N)) with
     A = U·diag(sv)·V, K = min(M, N).
     """
+    import math as _math
     a = jnp.asarray(a)
     a = a.astype(default_float_for(a.dtype))
-    return _svd_1sided_core(a, max_sweeps)
+    if a.ndim < 2:
+        raise ValueError("svd expects ndim >= 2")
+    lead = a.shape[:-2]
+    M, N = a.shape[-2:]
+    a3 = a.reshape((max(1, _math.prod(lead)), M, N))
+    if M < N:
+        u, sv, v = svd_jac_1sided(jnp.swapaxes(a3, -1, -2),
+                                  max_sweeps=max_sweeps)
+        u, sv, v = mt(v), sv, mt(u)
+    elif M > N:
+        from .qr import _qr_batched
+        q, r = _qr_batched(a3, economic=True)
+        u, sv, v = _svd_square_batched(r, max_sweeps)
+        u = mm(q, u)
+    else:
+        u, sv, v = _svd_square_batched(a3, max_sweeps)
+    K = min(M, N)
+    return (u.reshape(lead + (M, K)), sv.reshape(lead + (K,)),
+            v.reshape(lead + (K, N)))
+
+
+def _svd_jac_1sided_xla(a, max_sweeps: int = 24):
+    """The pure-XLA vmap path (kept for composition inside other
+    traced code where the Pallas kernel is unavailable)."""
+    return batched((2,))(
+        lambda x: _svd_1sided_core(x, max_sweeps))(
+            jnp.asarray(a).astype(default_float_for(jnp.asarray(a).dtype)))
+
+
 
 
 # Name-parity aliases for the reference's Jacobi variants. All share the
@@ -187,6 +256,9 @@ def svd_jac_2sided(a, max_sweeps: int = 24):
     return svd_jac_1sided(a, max_sweeps=max_sweeps)
 
 
-def svd_jac_2sided_blocked(a, max_sweeps: int = 24):
-    """ref: src/la/svd_jac_2sided_blocked.js (4×4-tiled two-sided)."""
-    return svd_jac_1sided(a, max_sweeps=max_sweeps)
+def svd_jac_2sided_blocked(a, **kw):
+    """ref: src/la/svd_jac_2sided_blocked.js (4×4-tiled two-sided).
+    On TPU the tile is a column block sized for the MXU — delegates to
+    the genuinely blocked implementation (svd_block_jac.py)."""
+    from .svd_block_jac import svd_jac_blocked
+    return svd_jac_blocked(a, **kw)

@@ -90,7 +90,14 @@ def lu_panel(panel, interpret: bool = False, batch_tile: int = 32):
     Mosaic, so HBM↔VMEM transfers overlap compute).
     """
     Nb, M, B = panel.shape
-    bt = min(batch_tile, Nb)
+    # VMEM budget: in + out (+ pipelining headroom) under ~10 MB
+    per_mat = (2 * M * B + M) * 4 * 2
+    bt_budget = max(1, (10 * 2 ** 20) // per_mat)
+    bt = min(batch_tile, bt_budget, Nb)
+    # 2-D outputs need a sublane-divisible batch tile (multiple of 8,
+    # or the whole batch)
+    if bt < Nb:
+        bt = max(8 * (bt // 8), min(8, Nb)) if Nb >= 8 else Nb
     if Nb % bt != 0:
         # pad the batch to a tile multiple
         pad = (-Nb) % bt

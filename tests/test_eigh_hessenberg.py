@@ -74,3 +74,16 @@ def test_hessenberg_batched():
     for i in range(3):
         assert_all_close(np.asarray(q[i]) @ np.asarray(h[i]) @ np.asarray(q[i]).T,
                          a[i], atol=1e-10)
+
+
+def test_eigh_via_svd():
+    rng = TestRNG("eigh_via_svd")
+    for n in [5, 20, 48]:
+        a = rng.matrix(n, n)
+        a = (a + a.T) / 2
+        w, v = la.eigh(a, method="via_svd")
+        w, v = np.asarray(w), np.asarray(v)
+        assert np.all(np.diff(w) >= 0)
+        assert np.abs(v.T @ v - np.eye(n)).max() < 1e-12
+        assert_all_close((v * w) @ v.T, a, atol=1e-10 * n)
+        assert_all_close(w, np.linalg.eigvalsh(a), rtol=1e-9, atol=1e-10)
