@@ -89,7 +89,15 @@ def rank(a, tol=None):
     return svd_rank(sv, tol=tol)
 
 
-def lstsq(a, y, rcond=None):
-    """Minimum-norm least squares (ref: la/lstsq.js:23 — SVD-backed)."""
+def lstsq(a, y, rcond=None, method: str = "svd"):
+    """Minimum-norm least squares (ref: la/lstsq.js:23 — SVD-backed).
+
+    method: 'svd' (reference parity, default) or 'urv' — the complete
+    orthogonal decomposition gives the same minimum-norm solution at
+    QR speed (the throughput choice for large batched systems)."""
+    if method == "urv":
+        from .urv import urv_decomp_full, urv_lstsq
+        u, r, v, rank = urv_decomp_full(a)
+        return urv_lstsq(u, r, v, rank, y)
     u, sv, v = svd_decomp(a)
     return svd_lstsq(u, sv, v, y, rcond=rcond)

@@ -61,13 +61,15 @@ def _sweep_kernel(sweeps_ref, wt_ref, wb_ref, vt_ref, vb_ref,
     vto[:] = vt_ref[:]
     vbo[:] = vb_ref[:]
     off_ref[:] = jnp.zeros_like(off_ref)
-    n_rounds = (2 * h - 1) * sweeps_ref[0]
+    n_sweeps = sweeps_ref[0]
 
-    def body(_, carry):
+    def round_body(_, carry):
+        app, aqq = carry
         wt, wb = wto[:], wbo[:]
         vt, vb = vto[:], vbo[:]
-        app = jnp.sum(wt * wt, axis=1)                    # (Bt, h)
-        aqq = jnp.sum(wb * wb, axis=1)
+        # only the CROSS product needs a fresh reduction; the column
+        # norms are carried analytically through the rotations (the
+        # sublane reductions over M dominate this kernel's cost)
         apq = jnp.sum(wt * wb, axis=1)
         tiny = jnp.finfo(wt.dtype).tiny
         denom = jnp.sqrt(app * aqq) + tiny
@@ -88,13 +90,27 @@ def _sweep_kernel(sweeps_ref, wt_ref, wb_ref, vt_ref, vb_ref,
         nwb = s3 * wt + c3 * wb
         nvt = c3 * vt - s3 * vb
         nvb = s3 * vt + c3 * vb
+        # norm update: app' = c²·app − 2cs·apq + s²·aqq (and symmetric)
+        c2, s2, cs2 = c * c, s * s, 2 * c * s
+        napp = c2 * app - cs2 * apq + s2 * aqq
+        naqq = s2 * app + cs2 * apq + c2 * aqq
+        napp, naqq = _shuffle(napp[:, None, :], naqq[:, None, :])
         nwt, nwb = _shuffle(nwt, nwb)
         nvt, nvb = _shuffle(nvt, nvb)
         wto[:], wbo[:] = nwt, nwb
         vto[:], vbo[:] = nvt, nvb
+        return napp[:, 0, :], naqq[:, 0, :]
+
+    def sweep_body(_, carry):
+        # refresh the carried norms once per sweep (rounding drift)
+        wt, wb = wto[:], wbo[:]
+        app = jnp.sum(wt * wt, axis=1)
+        aqq = jnp.sum(wb * wb, axis=1)
+        app, aqq = jax.lax.fori_loop(0, 2 * h - 1, round_body,
+                                     (app, aqq), unroll=False)
         return 0
 
-    jax.lax.fori_loop(0, n_rounds, body, 0, unroll=False)
+    jax.lax.fori_loop(0, n_sweeps, sweep_body, 0, unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "batch_tile"))

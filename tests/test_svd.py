@@ -149,3 +149,12 @@ def test_tridiag_eigh_dc():
         T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
         assert np.abs(v.T @ v - np.eye(n)).max() < eps(np.float64) * 8 * n
         assert_all_close(w, np.linalg.eigvalsh(T), rtol=1e-10, atol=1e-12)
+
+
+def test_lstsq_urv_method_matches_svd():
+    rng = TestRNG("lstsq_urv")
+    a, r = rng.rankdef(25, 18, rank=11)
+    y = rng.matrix(25, 2)
+    x_svd = np.asarray(la.lstsq(a, y))
+    x_urv = np.asarray(la.lstsq(a, y, method="urv"))
+    assert_all_close(x_urv, x_svd, rtol=1e-8, atol=1e-10)
