@@ -13,6 +13,7 @@ dimensions with NumPy broadcasting, and shardable over a device mesh via
 ``nd4js_tpu.parallel``.
 """
 from . import config, dt
+from . import math
 from .core import (array, asarray, tabulate, zip_elems, concat, stack,
                    map_elems, reduce_elems, slice_elems)
 from . import la

@@ -39,16 +39,14 @@ def _lu_panel_kernel(a_ref, out_ref, perm_ref):
 
     def body(j, _):
         a = out_ref[:]
-        # extract column j (lane-masked reduce)
+        # pass 1: column j and pivot rows j/p (lane/row-masked reduces)
         col = jnp.sum(jnp.where(lane3 == j, a, 0.0), axis=2)        # (Bt, M)
-        # pivot search over rows >= j
         cand = jnp.where(row2 >= j, jnp.abs(col), -1.0)
         # manual argmax (Mosaic lacks an argmax lowering): max, then the
         # smallest row index attaining it
         cmax = jnp.max(cand, axis=1, keepdims=True)
         p = jnp.min(jnp.where(cand == cmax, row2, M), axis=1) \
             .astype(jnp.int32)                                      # (Bt,)
-        # swap rows j <-> p (matrix, and the tracked permutation)
         is_j2 = row2 == j
         is_p2 = row2 == p[:, None]
         perm = perm_ref[:]
@@ -58,11 +56,10 @@ def _lu_panel_kernel(a_ref, out_ref, perm_ref):
                                 jnp.where(is_p2, pj[:, None], perm))
         is_j = row3 == j
         is_p = row3 == p[:, None, None]
+        # pass 2: both pivot rows in one traversal
         rowj = jnp.sum(jnp.where(is_j, a, 0.0), axis=1)             # (Bt, B)
         rowp = jnp.sum(jnp.where(is_p, a, 0.0), axis=1)             # (Bt, B)
-        a = jnp.where(is_j, rowp[:, None, :],
-                      jnp.where(is_p, rowj[:, None, :], a))
-        # swapped column j / pivot value
+        # swapped column j (vector-level, no matrix traversal)
         colj = jnp.sum(jnp.where(is_j2, col, 0.0), axis=1)          # (Bt,)
         colp = jnp.sum(jnp.where(is_p2, col, 0.0), axis=1)
         col = jnp.where(is_j2, colp[:, None],
@@ -71,10 +68,13 @@ def _lu_panel_kernel(a_ref, out_ref, perm_ref):
         safe = jnp.where(pv == 0.0, 1.0, pv)
         l = jnp.where(row2 > j, col / safe[:, None], 0.0)           # (Bt, M)
         urow = jnp.where(lane2 > j, rowp, 0.0)                      # (Bt, B)
-        a = a - l[:, :, None] * urow[:, None, :]
-        # write L into column j (rows > j)
-        a = jnp.where((lane3 == j) & (row3 > j), l[:, :, None], a)
-        out_ref[:] = a
+        # pass 3: swap + rank-1 update + L write-back fused into one
+        # composite select expression over the matrix
+        swapped = jnp.where(is_j, rowp[:, None, :],
+                            jnp.where(is_p, rowj[:, None, :], a))
+        updated = swapped - l[:, :, None] * urow[:, None, :]
+        out_ref[:] = jnp.where((lane3 == j) & (row3 > j),
+                               l[:, :, None], updated)
         return 0
 
     jax.lax.fori_loop(0, min(B, M), body, 0, unroll=False)
