@@ -178,7 +178,8 @@ def _svd_square_batched(a3, max_sweeps: int):
 
     def cond(st):
         w, v, off, i = st
-        return (i < max_sweeps) & (jnp.max(off) > tol)
+        # NaN-safe: treat a non-finite off measure as not-converged
+        return (i < max_sweeps) & ~(jnp.max(off) <= tol)
 
     def body(st):
         w, v, _, i = st

@@ -72,7 +72,12 @@ def _sweep_kernel(sweeps_ref, wt_ref, wb_ref, vt_ref, vb_ref,
         # sublane reductions over M dominate this kernel's cost)
         apq = jnp.sum(wt * wb, axis=1)
         tiny = jnp.finfo(wt.dtype).tiny
-        denom = jnp.sqrt(app * aqq) + tiny
+        # NaN-free relative off measure: sqrt(app)·sqrt(aqq) cannot
+        # underflow-to-0/0 the way sqrt(app·aqq) can, and carried norms
+        # are clamped non-negative (rounding can push them below 0)
+        app = jnp.maximum(app, 0.0)
+        aqq = jnp.maximum(aqq, 0.0)
+        denom = jnp.sqrt(app) * jnp.sqrt(aqq) + tiny
         off_ref[:] = jnp.maximum(
             off_ref[:],
             jnp.max(jnp.abs(apq) / denom, axis=1)[:, None, None])
