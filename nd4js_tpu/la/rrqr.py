@@ -104,6 +104,47 @@ def _build_q(V, taus, ncols):
     return B
 
 
+def _rrqr_batched(a3, economic: bool):
+    """Natively-batched public path: the whole pivoted factorisation
+    runs VMEM-resident in one Pallas kernel (ops/rrqr_kernel.py); Q is
+    rebuilt by compact-WY panels (GEMMs)."""
+    from ..ops.rrqr_kernel import rrqr_kernel
+    from .qr import _form_t_batched
+    interp = jax.default_backend() == "cpu"
+    Bn, M, N = a3.shape
+    K = min(M, N)
+    r, V, taus, perm = rrqr_kernel(a3, interpret=interp)
+    ncols = K if economic else M
+    B = jnp.broadcast_to(jnp.eye(M, ncols, dtype=a3.dtype),
+                         (Bn, M, ncols))
+    panels = [(k, min(_PANEL, K - k)) for k in range(0, K, _PANEL)]
+    for k, b in reversed(panels):
+        Vp, T = _form_t_batched(V[:, k:, k:k + b], taus[:, k:k + b])
+        sub = B[:, k:, :]
+        w = mm(mt(Vp), sub)
+        w = mm(T, w)
+        B = jnp.concatenate([B[:, :k], sub - mm(Vp, w)], axis=1)
+    r = jnp.triu(r[:, :K] if economic else r)
+    return B, r, perm
+
+
+def _rrqr_public(a, economic: bool):
+    import math as _math
+    a = jnp.asarray(a)
+    a = a.astype(default_float_for(a.dtype))
+    if a.ndim < 2:
+        raise ValueError("rrqr_decomp expects ndim >= 2")
+    lead = a.shape[:-2]
+    M, N = a.shape[-2:]
+    K = min(M, N)
+    a3 = a.reshape((max(1, _math.prod(lead)), M, N))
+    q, r, perm = _rrqr_batched(a3, economic)
+    ncols = K if economic else M
+    return (q.reshape(lead + (M, ncols)),
+            r.reshape(lead + (r.shape[-2], N)),
+            perm.reshape(lead + (N,)))
+
+
 def _rrqr_core(a, economic: bool):
     M, N = a.shape
     K = min(M, N)
@@ -113,23 +154,17 @@ def _rrqr_core(a, economic: bool):
     return q, r, perm
 
 
-@batched((2,))
 def rrqr_decomp(a):
     """Economic column-pivoted QR: A[:, P] = Q·R (ref: rrqr.js:278).
 
-    Returns (Q (...,M,K), R (...,K,N), P (...,N) int32).
-    """
-    a = jnp.asarray(a)
-    a = a.astype(default_float_for(a.dtype))
-    return _rrqr_core(a, economic=True)
+    Returns (Q (...,M,K), R (...,K,N), P (...,N) int32). The pivoted
+    factorisation runs VMEM-resident (ops/rrqr_kernel.py)."""
+    return _rrqr_public(a, economic=True)
 
 
-@batched((2,))
 def rrqr_decomp_full(a):
     """Full column-pivoted QR (ref: rrqr.js:88)."""
-    a = jnp.asarray(a)
-    a = a.astype(default_float_for(a.dtype))
-    return _rrqr_core(a, economic=False)
+    return _rrqr_public(a, economic=False)
 
 
 def rrqr_rank(r, tol=None):
