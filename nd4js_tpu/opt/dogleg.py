@@ -209,9 +209,9 @@ def min_dogleg_gen(fg, x0, hist_size: int = 8, **options):
     """General trust-region minimisation generator: yields (x, f, ∇f)
     (ref: dogleg.js:31)."""
     from .lbfgs import _ensure_fg
-    fg = _ensure_fg(fg)
     opt = {**_DEFAULTS, **options}
     x0 = jnp.asarray(x0)
+    fg = _ensure_fg(fg, x0)
     f0, g0 = fg(x0)
     s = _MinDLState(x=x0, f=jnp.asarray(f0), g=jnp.asarray(g0),
                     mem=lbfgs_init(hist_size, x0.size, x0.dtype),
@@ -230,9 +230,9 @@ def min_dogleg(fg, x0, hist_size: int = 8, gtol: float = 1e-8,
                max_iter: int = 500, **options):
     """In-graph trust-region minimisation. Returns (x, f, g, n_iter)."""
     from .lbfgs import _ensure_fg
-    fg = _ensure_fg(fg)
     opt = {**_DEFAULTS, **options}
     x0 = jnp.asarray(x0)
+    fg = _ensure_fg(fg, x0)
     f0, g0 = fg(x0)
     s0 = _MinDLState(x=x0, f=jnp.asarray(f0), g=jnp.asarray(g0),
                      mem=lbfgs_init(hist_size, x0.size, x0.dtype),

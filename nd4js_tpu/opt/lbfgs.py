@@ -40,32 +40,23 @@ class _MinState(NamedTuple):
     fails: jax.Array
 
 
-def _ensure_fg(fg_or_f) -> Callable:
-    """Accept fg(x)->(f,g) or f(x)->f (grad via AD)."""
-    def fg(x):
-        out = fg_or_f(x)
-        if isinstance(out, tuple):
-            return out
-        raise TypeError
-    try:
-        # cheap structural probe: does it return a tuple?
-        import inspect  # noqa
-        return fg_or_f if _returns_pair(fg_or_f) else \
-            lambda x: (fg_or_f(x), jax.grad(fg_or_f)(x))
-    except Exception:
-        return fg_or_f
+def _ensure_fg(fg_or_f, x0=None) -> Callable:
+    """Accept fg(x)->(f,g) or f(x)->f (gradient via jax.grad).
 
-
-def _returns_pair(f):
-    try:
-        out = jax.eval_shape(f, jnp.zeros((1,)))
-        return isinstance(out, tuple) and len(out) == 2
-    except Exception:
+    The structural probe runs ``jax.eval_shape`` against the actual
+    ``x0`` when given (no FLOPs), falling back to simple shape guesses.
+    """
+    probes = ([jnp.asarray(x0)] if x0 is not None else []) \
+        + [jnp.zeros((1,)), jnp.zeros(())]
+    for probe in probes:
         try:
-            out = jax.eval_shape(f, jnp.zeros(()))
-            return isinstance(out, tuple) and len(out) == 2
+            out = jax.eval_shape(fg_or_f, probe)
         except Exception:
-            return False
+            continue
+        if isinstance(out, tuple) and len(out) == 2:
+            return fg_or_f
+        return lambda x: (fg_or_f(x), jax.grad(fg_or_f)(x))
+    return fg_or_f
 
 
 def _lbfgs_step(fg, st: _MinState, m: int) -> _MinState:
@@ -99,8 +90,8 @@ def min_lbfgs_gen(fg, x0, hist_size: int = 8):
     """Infinite generator yielding (x, f, ∇f) per iteration
     (ref: lbfgs.js:41). The user owns the convergence test, exactly like
     the reference idiom (examples/beer_foam_half_life.html:44-46)."""
-    fg = _ensure_fg(fg)
     x0 = jnp.asarray(x0)
+    fg = _ensure_fg(fg, x0)
     f0, g0 = fg(x0)
     st = _MinState(x=x0, f=jnp.asarray(f0), g=jnp.asarray(g0),
                    mem=lbfgs_init(hist_size, x0.size, x0.dtype),
@@ -118,8 +109,8 @@ def lbfgs_minimize(fg, x0, hist_size: int = 8, gtol: float = 1e-8,
 
     Returns (x, f, g, n_iter). jit/vmap-compatible.
     """
-    fg = _ensure_fg(fg)
     x0 = jnp.asarray(x0)
+    fg = _ensure_fg(fg, x0)
     f0, g0 = fg(x0)
     st0 = _MinState(x=x0, f=jnp.asarray(f0), g=jnp.asarray(g0),
                     mem=lbfgs_init(hist_size, x0.size, x0.dtype),

@@ -122,8 +122,8 @@ def min_lbfgsb_gen(fg, x0, bounds, hist_size: int = 8):
     """Generator yielding (x, f, ∇f) for min f s.t. lo ≤ x ≤ hi
     (ref: lbfgsb.js:37). ``bounds = (lo, hi)`` broadcastable to x."""
     from .lbfgs import _ensure_fg
-    fg = _ensure_fg(fg)
     x0 = jnp.asarray(x0)
+    fg = _ensure_fg(fg, x0)
     lo, hi = _bounds(bounds, x0.size, x0.dtype)
     s = _init_b(fg, x0, lo, hi, hist_size)
     step = jax.jit(functools.partial(_lbfgsb_step, fg, lo, hi))
@@ -139,8 +139,8 @@ def lbfgsb_minimize(fg, x0, bounds, hist_size: int = 8,
     """In-graph box-constrained minimisation. Returns (x, f, g, n_iter);
     convergence = projected-gradient (KKT) residual ≤ tol."""
     from .lbfgs import _ensure_fg
-    fg = _ensure_fg(fg)
     x0 = jnp.asarray(x0)
+    fg = _ensure_fg(fg, x0)
     lo, hi = _bounds(bounds, x0.size, x0.dtype)
     s0 = _init_b(fg, x0, lo, hi, hist_size)
 
