@@ -219,13 +219,14 @@ def svd_jac_1sided(a, max_sweeps: int = 24):
         u, sv, v = svd_jac_1sided(jnp.swapaxes(a3, -1, -2),
                                   max_sweeps=max_sweeps)
         u, sv, v = mt(v), sv, mt(u)
-    elif M > N:
+    else:
+        # pre-QR and run Jacobi on Rᵀ: the lower-triangular profile
+        # cuts ~3 of ~13 sweeps at N=512 (measured), far more than the
+        # QR costs. Rᵀ = u·Σ·v ⇒ A = Q·R = (Q·vᵀ)·Σ·uᵀ.
         from .qr import _qr_batched
         q, r = _qr_batched(a3, economic=True)
-        u, sv, v = _svd_square_batched(r, max_sweeps)
-        u = mm(q, u)
-    else:
-        u, sv, v = _svd_square_batched(a3, max_sweeps)
+        u, sv, v = _svd_square_batched(mt(r), max_sweeps)
+        u, v = mm(q, mt(v)), mt(u)
     K = min(M, N)
     return (u.reshape(lead + (M, K)), sv.reshape(lead + (K,)),
             v.reshape(lead + (K, N)))
