@@ -115,7 +115,7 @@ def main():
     # --- SVD (one-sided Jacobi) when available -----------------------
     if hasattr(la, "svd_decomp"):
         try:
-            svd_op = lambda x: la.svd_decomp(x, method="blocked")
+            svd_op = lambda x: la.svd_decomp(x)
             t = _amortized(svd_op, a, iters=4, floor=floor)
             u, sv, v = jax.jit(svd_op)(a)
             rec = jnp.matmul(u * sv[..., None, :], v, precision="highest")
