@@ -1,23 +1,16 @@
-"""Box-constrained L-BFGS (L-BFGS-B capability).
+"""Box-constrained L-BFGS-B.
 
 Parity with /root/reference/src/opt/lbfgsb.js:37-239 (`min_lbfgsb_gen`)
-and the machinery of _lbfgsb_solver.js (:72-784).
+and the full machinery of _lbfgsb_solver.js (:72-784): compact-
+representation B·v products, the generalized Cauchy point over the box
+breakpoints, and subspace minimisation on the free set — see
+``_lbfgsb_solver.py`` for the TPU-shaped mechanisms (masked fixed-length
+breakpoint scan, Woodbury subspace solve). The driver couples them to
+the bounded more_thuente_u123 line search exactly as the reference
+(lbfgsb.js:37), with the forget-half-history recovery on failure.
 
-TPU-first mechanism: a projected-path quasi-Newton method — the
-generalized-Cauchy breakpoint walk of the reference (sequential,
-data-dependent segment count) is replaced by
-
-  1. a Cauchy step along the *projected* gradient path with the
-     diagonal model θI (one vectorised breakpoint clamp),
-  2. a subspace step: the L-BFGS two-loop direction restricted to the
-     free set (variables not at an active bound with inward gradient),
-  3. projection of the trial onto the box + backtracking Armijo search
-     along the projected path (the reference's more_thuente_u123
-     projected search, :37),
-  4. curvature-guarded memory update exactly as in lbfgs.py.
-
-Same contract — monotone descent to a KKT point of min f s.t.
-lo ≤ x ≤ hi — with every step a fixed-shape vector op.
+Contract: monotone descent to a KKT point of min f s.t. lo ≤ x ≤ hi,
+every step a fixed-shape vector op (jit/while_loop-safe).
 """
 from __future__ import annotations
 
@@ -28,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ._lbfgs_solver import (LBFGSState, lbfgs_init, lbfgs_update,
-                            lbfgs_forget, lbfgs_hv)
+                            lbfgs_forget)
 from .optimization_error import OptimizationNoProgressError
 
 __all__ = ["min_lbfgsb_gen", "lbfgsb_minimize"]
@@ -53,43 +46,47 @@ def _kkt_residual(x, g, lo, hi):
 
 
 def _lbfgsb_step(fg, lo, hi, s: _BState, max_ls: int = 30) -> _BState:
-    # free set: not pinned at a bound by the gradient
-    at_lo = (s.x <= lo) & (s.g > 0)
-    at_hi = (s.x >= hi) & (s.g < 0)
-    free = ~(at_lo | at_hi)
-    g_eff = jnp.where(free, s.g, 0.0)
-    # subspace quasi-Newton direction on the free set
-    d = -lbfgs_hv(s.mem, g_eff)
-    d = jnp.where(free, d, 0.0)
-    # fall back to projected steepest descent if not a descent direction
-    descent = jnp.vdot(d, g_eff) < 0
-    gn = jnp.sqrt(jnp.vdot(g_eff, g_eff))
-    d = jnp.where(descent, d, -g_eff / jnp.maximum(gn, 1.0))
+    """One L-BFGS-B iteration (ref: lbfgsb.js:37-239 driver over the
+    _lbfgsb_solver.js machinery):
 
-    # backtracking Armijo along the projected path
-    def ls_body(carry):
-        alpha, best_x, best_f, k, done = carry
-        xt = _project(s.x + alpha * d, lo, hi)
-        ft, _ = fg(xt)
-        dx = xt - s.x
-        ok = ft <= s.f + 1e-4 * jnp.vdot(s.g, dx)
-        improved = ok & (ft < s.f)
-        return (alpha * 0.5,
-                jnp.where(improved & ~done, xt, best_x),
-                jnp.where(improved & ~done, ft, best_f),
-                k + 1, done | improved)
+      1. generalized Cauchy point along the projected gradient path
+         (breakpoint scan with the compact B model),
+      2. subspace minimisation of the quadratic over the free set
+         (Sherman-Morrison-Woodbury direct primal method),
+      3. bounded strong-Wolfe search (more_thuente_u123 semantics,
+         αMax = 1 — the subspace minimiser is the far end of the path),
+      4. curvature-guarded memory update; on failure, forget half the
+         history (the reference's recovery, lbfgs.js:208-214).
+    """
+    from ._lbfgsb_solver import compact_wk, cauchy_point, subspace_step
+    from .line_search._engine import line_search_engine, OK, BOUND_REACHED
+    import math as _math
 
-    def ls_cond(carry):
-        alpha, _, _, k, done = carry
-        return (~done) & (k < max_ls)
+    wk = compact_wk(s.mem)
+    x_cp, c, free = cauchy_point(wk, s.x, s.g, lo, hi)
+    x_bar = subspace_step(wk, s.x, s.g, x_cp, c, free, lo, hi)
 
-    alpha0 = jnp.ones((), s.f.dtype)
-    _, x_new, f_new, _, found = jax.lax.while_loop(
-        ls_cond, ls_body, (alpha0, s.x, s.f, jnp.zeros((), jnp.int32),
-                           jnp.zeros((), bool)))
+    d = x_bar - s.x
+    descent = jnp.vdot(d, s.g) < 0
+    # fall back to the Cauchy point path when the subspace step is not
+    # a descent direction (degenerate model)
+    d_cp = x_cp - s.x
+    cp_descent = jnp.vdot(d_cp, s.g) < 0
+    d = jnp.where(descent, d, jnp.where(cp_descent, d_cp, -s.g))
+
+    def fg_proj(x):
+        return fg(_project(x, lo, hi))
+
+    x_new, f_new, g_new, alpha, status, _ = line_search_engine(
+        fg_proj, s.x, s.f, s.g, -d,
+        fRed=1e-2, gRed=0.9, growMin=_math.pi / 3,
+        growMax=_math.e - 1.5, shrinkLeast=0.1, variant="u123",
+        alpha0=jnp.ones((), s.f.dtype), alpha_max=jnp.ones((), s.f.dtype),
+        max_iter=max_ls)
+    x_new = _project(x_new, lo, hi)
+    found = ((status == OK) | (status == BOUND_REACHED)) & (f_new < s.f)
 
     def success(s):
-        _, g_new = fg(x_new)
         dx = x_new - s.x
         dg = g_new - s.g
         mem = lbfgs_update(s.mem, dx, dg)
