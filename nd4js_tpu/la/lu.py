@@ -39,41 +39,6 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-_SUBPANEL = 32
-
-
-def _lu_panel_recursive(panel, interp):
-    """Factor a (B, Mp, b) panel by _SUBPANEL-wide Pallas sub-panels with
-    rank-_SUBPANEL MXU updates in between. The kernel's per-pivot-step
-    cost scales with the tile *width*, so narrow kernel tiles + GEMM
-    updates cut its VPU work ~(b/_SUBPANEL)× vs one b-wide kernel call.
-    Returns (panel_factored, perm (B, Mp)) with
-    panel_in[t, perm[t]] = L@U."""
-    B, Mp, b = panel.shape
-    if b <= _SUBPANEL:
-        return lu_panel(panel, interpret=interp)
-    perm = jnp.broadcast_to(jnp.arange(Mp, dtype=jnp.int32), (B, Mp))
-    for j in range(0, b, _SUBPANEL):
-        w = min(_SUBPANEL, b - j)
-        pdone, pperm = lu_panel(panel[:, j:, j:j + w], interpret=interp)
-        idx = pperm[:, :, None]
-        left = jnp.take_along_axis(panel[:, j:, :j], idx, axis=1) \
-            if j > 0 else panel[:, j:, :0]
-        rest = jnp.take_along_axis(panel[:, j:, j + w:], idx, axis=1) \
-            if j + w < b else panel[:, j:, j + w:]
-        ptail = jnp.take_along_axis(perm[:, j:], pperm, axis=1)
-        perm = jnp.concatenate([perm[:, :j], ptail], axis=1)
-        if j + w < b:
-            l_jj = jnp.tril(pdone[:, :w, :], -1) \
-                + jnp.eye(w, dtype=panel.dtype)
-            u_top = mm(_tril_inv_core(l_jj), rest[:, :w])
-            trail = rest[:, w:] - mm(pdone[:, w:, :], u_top)
-            rest = jnp.concatenate([u_top, trail], axis=1)
-        bottom = jnp.concatenate([left, pdone, rest], axis=2)
-        panel = jnp.concatenate([panel[:, :j], bottom], axis=1)
-    return panel, perm
-
-
 def _lu_core_batched(a):
     """Blocked LU of a (B, M, N) batch. Returns (LU, P (B, M))."""
     Bn, M, N = a.shape
@@ -82,7 +47,7 @@ def _lu_core_batched(a):
     perm = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (Bn, M))
     for k in range(0, K, _PANEL):
         b = min(_PANEL, K - k)
-        pdone, pperm = _lu_panel_recursive(a[:, k:, k:k + b], interp)
+        pdone, pperm = lu_panel(a[:, k:, k:k + b], interpret=interp)
         idx = pperm[:, :, None]
         left = jnp.take_along_axis(a[:, k:, :k], idx, axis=1) \
             if k > 0 else a[:, k:, :0]
