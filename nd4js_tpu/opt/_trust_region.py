@@ -1,17 +1,21 @@
 """Trust-region least-squares machinery (Moré's Levenberg-Marquardt).
 
 Parity with /root/reference/src/opt/_trust_region_solver_lsq.js: the
-solver state {X0, F0, J0, G0, column-scaling D} (:298), `computeNewton`
-via rank-revealing QR (:298), `computeNewtonRegularized(λ)` returning
-(‖D·dx‖, d‖D·dx‖/dλ) for Moré's λ iteration (:415), and the two-phase
-consider/commit move protocol (:205,255) — re-expressed as pure
-functions of a pytree so the LM driver is one ``lax.while_loop``.
+solver state {X0, F0, J0, G0, column-scaling D} (:280-296),
+`computeNewton` via rank-revealing QR **with a complete-orthogonal
+(URV) fallback for rank-deficient J** that returns the minimum-‖D·dx‖
+Gauss-Newton step (:298-386), and `computeNewtonRegularized(λ)`
+returning (‖D·dx‖, d‖D·dx‖/dλ) for Moré's λ iteration (:415-556) —
+re-expressed as pure functions of a pytree so the LM driver is one
+``lax.while_loop``.
 
-The regularized step solves min ‖[J; √λ·D]·dx + [F; 0]‖ by QR of the
-augmented matrix (GEMM-shaped, MXU-friendly) instead of the reference's
-incremental Givens update of a pre-factorised system; the derivative
-φ'(λ) = −‖R⁻ᵀ·D²·dx‖²/‖D·dx‖ comes from one extra triangular solve,
-exactly Moré's formula.
+Like the reference, J is RRQR-factorised **once** per outer iteration;
+each inner λ step then works on the (K, N) R factor — a QR of the
+(K+N, N) stack [R_masked; √λ·D_P] instead of the (M+N, N) augmented
+matrix (ref :476-520 does the same elimination with Givens rows). The
+derivative φ'(λ) = −‖R⁻ᵀ·(D²·dx)_P‖²/‖D·dx‖ is Moré eq. (5.8)
+(ref :536-556). The rank-deficient branch runs under ``lax.cond`` so
+full-rank problems never pay for the URV.
 """
 from __future__ import annotations
 
@@ -20,11 +24,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .. import dt
+from ..core.mm import mm, mt
 from ..la.qr import _qr_core
-from ..la.tri import triu_solve, triu_t_solve
+from ..la.rrqr import _rrqr_core, rrqr_rank
+from ..la.urv import _urv_core
+from ..la.tri import triu_solve, triu_t_solve, _tril_inv_core
 
-__all__ = ["LsqState", "lsq_state", "newton_step", "regularized_step",
-           "more_lambda_step"]
+__all__ = ["LsqState", "lsq_state", "LsqFactor", "lsq_factor",
+           "newton_step", "regularized_step", "more_lambda_step"]
 
 
 class LsqState(NamedTuple):
@@ -32,7 +40,7 @@ class LsqState(NamedTuple):
     f: jax.Array        # (M,) residuals
     j: jax.Array        # (M, N) jacobian
     g: jax.Array        # (N,) gradient of 0.5‖F‖²  = JᵀF
-    d: jax.Array        # (N,) column scaling (monotone max, ref :84)
+    d: jax.Array        # (N,) column scaling (monotone max, ref :295)
 
 
 def lsq_state(x, f, j, d_prev=None):
@@ -47,40 +55,133 @@ def lsq_state(x, f, j, d_prev=None):
     return LsqState(x=x, f=f, j=j, g=g, d=d)
 
 
-def regularized_step(st: LsqState, lam):
-    """Solve min ‖[J; √λ·D]·dx + [F; 0]‖. Returns (dx, r, dr) with
-    r = ‖D·dx‖ and dr = dr/dλ (ref: _trust_region_solver_lsq.js:415)."""
-    m, n = st.j.shape
-    sqrt_lam = jnp.sqrt(lam)
-    aug = jnp.concatenate([st.j, sqrt_lam * jnp.diag(st.d)], axis=0)
-    rhs = jnp.concatenate([-st.f, jnp.zeros((n,), st.f.dtype)])[:, None]
-    q, r_fac = _qr_core(aug, economic=True)
-    qty = jnp.einsum("ij,ik->jk", q, rhs, precision="highest")
-    dx = triu_solve.core(r_fac, qty, method="block")[:, 0]
-    dnorm = jnp.sqrt(jnp.sum((st.d * dx) ** 2))
-    # Moré: φ'(λ) = −‖R⁻ᵀ·(D²·dx)‖² / ‖D·dx‖
-    w = (st.d * st.d * dx)[:, None]
+class LsqFactor(NamedTuple):
+    """One RRQR of J, shared by the Newton step and every λ step
+    (ref :322-334 backs R0 up for exactly this reuse)."""
+    r0: jax.Array       # (K, N) upper-tri R of J[:, P], K = min(M, N)
+    perm: jax.Array     # (N,) column pivots P
+    qtf: jax.Array      # (K,)  Qᵀ·F
+    rank: jax.Array     # ()    numerical rank of J
+    d_perm: jax.Array   # (N,)  D[P]
+
+
+def lsq_factor(st: LsqState) -> LsqFactor:
+    q, r0, perm = _rrqr_core(st.j, economic=True)
+    qtf = mm(mt(q), st.f[:, None])[:, 0]
+    return LsqFactor(r0=r0, perm=perm, qtf=qtf, rank=rrqr_rank(r0),
+                     d_perm=st.d[perm])
+
+
+def _unpermute(z_p, perm):
+    n = perm.shape[0]
+    return jnp.zeros((n,), z_p.dtype).at[perm].set(z_p)
+
+
+def _phi_prime(r_fac, dx, d, perm, dnorm):
+    """Moré eq. (5.8): φ'(λ) = −‖R⁻ᵀ·(D²·dx)_P‖² / ‖D·dx‖
+    (ref :536-556). ``r_fac`` upper-triangular in permuted columns."""
+    w = (dx * d * d)[perm][:, None]
     z = triu_t_solve(r_fac, w)[:, 0]
     safe = jnp.where(dnorm == 0, 1.0, dnorm)
-    dr = -jnp.sum(z * z) / safe
+    return jnp.where(dnorm == 0, 0.0, -jnp.sum(z * z) / safe)
+
+
+def _newton_full_rank(fac: LsqFactor, st: LsqState):
+    """rank == N: the global minimiser is unique; scaling irrelevant
+    (ref :379-386)."""
+    n = fac.r0.shape[1]
+    z = triu_solve.core(fac.r0[:n], -fac.qtf[:n, None],
+                        method="block")[:, 0]
+    dx = _unpermute(z, fac.perm)
+    dnorm = jnp.sqrt(jnp.sum((st.d * dx) ** 2))
+    dr = _phi_prime(fac.r0[:n], dx, st.d, fac.perm, dnorm)
     return dx, dnorm, dr
 
 
+def _newton_deficient(fac: LsqFactor, st: LsqState):
+    """rank < N: minimum-‖D·dx‖ solution via complete orthogonal
+    decomposition of the D-scaled R block (ref :337-377)."""
+    k, n = fac.r0.shape
+    rows = jnp.arange(k)[:, None] < fac.rank
+    r_m = jnp.where(rows, fac.r0, 0.0)
+    rs = r_m / fac.d_perm[None, :]          # scale in (ref :341-346)
+    dtol = dt.eps(rs.dtype) * max(k, n)
+    u2, r2, v2, rank2 = _urv_core(rs, dtol, 2.0)  # rs = U₂·L·V₂, L lower
+    # masked min-norm solve with J's rank (ref passes `rank` in :352);
+    # clamped to the URV's own rank so the masked L₁₁ stays invertible
+    kk = min(k, n)
+    idx = jnp.arange(kk)
+    live = idx < jnp.minimum(fac.rank, rank2)
+    eye = jnp.eye(kk, dtype=r2.dtype)
+    l11 = jnp.where(live[:, None] & live[None, :], r2[:kk, :kk], eye)
+    rhs = jnp.where(rows, -fac.qtf[:, None], 0.0)
+    y1 = mm(mt(u2[:, :kk]), rhs)
+    linv = _tril_inv_core(l11)
+    z = jnp.where(live[:, None], mm(linv, y1), 0.0)    # (kk, 1)
+    zfull = jnp.concatenate(
+        [z, jnp.zeros((n - kk, 1), z.dtype)], 0) if n > kk else z
+    x_s = mm(mt(v2), zfull)[:, 0]           # min-norm in D-scaled coords
+    dx = _unpermute(x_s / fac.d_perm, fac.perm)   # scale out (ref :371-376)
+    dnorm = jnp.sqrt(jnp.sum(x_s * x_s))    # ≡ ‖D·dx‖ by construction
+    # φ'(0) via the URV triangle: V₂·x_s = [z; 0] so the Moré solve
+    # collapses to w = L₁₁⁻ᵀ·z (ref :443-469)
+    w = jnp.where(live[:, None], mm(mt(linv), z), 0.0)
+    safe = jnp.where(dnorm == 0, 1.0, dnorm)
+    dr = jnp.where(dnorm == 0, 0.0, -jnp.sum(w * w) / safe)
+    return dx, dnorm, dr
+
+
+def _newton_from_factor(fac: LsqFactor, st: LsqState):
+    m, n = st.j.shape
+    if m < n:
+        # K < N: always rank-deficient in the square sense
+        return _newton_deficient(fac, st)
+    return jax.lax.cond(fac.rank == n,
+                        lambda _: _newton_full_rank(fac, st),
+                        lambda _: _newton_deficient(fac, st),
+                        operand=None)
+
+
 def newton_step(st: LsqState):
-    """Gauss-Newton step via QR with a tiny Tikhonov floor for
-    rank-deficient J (the reference falls back to URV; a scaled-eps
-    floor delivers the same bounded step without a second
-    factorisation path inside the loop)."""
-    eps = jnp.finfo(st.j.dtype).eps
-    jn = jnp.max(jnp.abs(st.j))
-    lam0 = (eps * jnp.maximum(jn, 1.0)) ** 2
-    return regularized_step(st, lam0)
+    """Gauss-Newton step: unique solution when J has full column rank,
+    minimum-‖D·dx‖ solution via URV otherwise (ref :298-386). Returns
+    (dx, ‖D·dx‖, dr/dλ)."""
+    return _newton_from_factor(lsq_factor(st), st)
+
+
+def _regularized_from_factor(fac: LsqFactor, st: LsqState, lam):
+    """Solve min ‖[J; √λ·D]·dx + [F; 0]‖ from the cached RRQR: QR of the
+    (K+N, N) stack [R_masked; √λ·D_P] (ref :476-520). Returns
+    (dx, r, dr)."""
+    k, n = fac.r0.shape
+    rows = jnp.arange(k)[:, None] < fac.rank
+    r_m = jnp.where(rows, fac.r0, 0.0)
+    sqrt_lam = jnp.sqrt(lam)
+    stack = jnp.concatenate([r_m, sqrt_lam * jnp.diag(fac.d_perm)], 0)
+    rhs = jnp.concatenate(
+        [jnp.where(rows, -fac.qtf[:, None], 0.0),
+         jnp.zeros((n, 1), fac.qtf.dtype)], 0)
+    q, r_fac = _qr_core(stack, economic=True)
+    qty = mm(mt(q), rhs)
+    dx_p = triu_solve.core(r_fac, qty, method="block")[:, 0]
+    dx = _unpermute(dx_p, fac.perm)
+    dnorm = jnp.sqrt(jnp.sum((st.d * dx) ** 2))
+    dr = _phi_prime(r_fac, dx, st.d, fac.perm, dnorm)
+    return dx, dnorm, dr
+
+
+def regularized_step(st: LsqState, lam):
+    """Solve min ‖[J; √λ·D]·dx + [F; 0]‖. Returns (dx, r, dr) with
+    r = ‖D·dx‖ and dr = dr/dλ (ref :415)."""
+    return _regularized_from_factor(lsq_factor(st), st, lam)
 
 
 def more_lambda_step(st: LsqState, radius, max_inner: int = 32):
     """Find λ ≥ 0 with ‖D·dx(λ)‖ ≈ radius (Moré Algorithm 5.5;
-    ref: lm.js:122-153). Returns dx."""
-    dx_gn, r_gn, dr_gn = newton_step(st)
+    ref: lm.js:122-153). Factors J once; every inner iteration reuses
+    the R factor. Returns dx."""
+    fac = lsq_factor(st)
+    dx_gn, r_gn, dr_gn = _newton_from_factor(fac, st)
 
     def inside(_):
         return dx_gn
@@ -97,16 +198,18 @@ def more_lambda_step(st: LsqState, radius, max_inner: int = 32):
 
         def body(carry):
             lam, lo, up, dx, r, it = carry
-            dx, r, dr = regularized_step(st, lam)
+            dx, r, dr = _regularized_from_factor(fac, st, lam)
             up2 = jnp.where(r < radius, lam, up)
-            lo2 = jnp.where(r > radius, jnp.maximum(lo, lam - (r - radius) / dr), lo)
+            lo2 = jnp.where(r > radius,
+                            jnp.maximum(lo, lam - (r - radius) / dr), lo)
             lam2 = lam - ((r - radius) / radius) * (r / dr)
-            lam2 = jnp.where((lam2 <= lo2) | (lam2 >= up2) | ~jnp.isfinite(lam2),
-                             jnp.maximum(1e-3 * up2, jnp.sqrt(lo2 * up2)),
-                             lam2)
+            lam2 = jnp.where(
+                (lam2 <= lo2) | (lam2 >= up2) | ~jnp.isfinite(lam2),
+                jnp.maximum(1e-3 * up2, jnp.sqrt(lo2 * up2)),
+                lam2)
             return lam2, lo2, up2, dx, r, it + 1
 
-        dx0, r0, _ = regularized_step(st, lam0)
+        dx0, r0, _ = _regularized_from_factor(fac, st, lam0)
         lam, lo, up, dx, r, _ = jax.lax.while_loop(
             cond, body, (lam0, lo0, up0, dx0, r0,
                          jnp.zeros((), jnp.int32)))

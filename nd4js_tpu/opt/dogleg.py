@@ -145,16 +145,16 @@ class _MinDLState(NamedTuple):
 
 
 def _min_dogleg_step(fg, opt, s: _MinDLState) -> _MinDLState:
+    from ._lbfgsb_solver import compact_wk, bv
     # quasi-Newton point from the L-BFGS inverse-Hessian model
     dx_qn = -lbfgs_hv(s.mem, s.g)
-    # curvature along g by secant (one extra fg evaluation)
-    gnorm = jnp.sqrt(jnp.vdot(s.g, s.g))
-    ghat = s.g / jnp.where(gnorm == 0, 1.0, gnorm)
-    h = jnp.asarray(1e-4, s.x.dtype) * jnp.maximum(
-        1.0, jnp.sqrt(jnp.vdot(s.x, s.x)))
-    _, g_probe = fg(s.x + h * ghat)
-    curv = jnp.vdot(g_probe - s.g, ghat) / h
-    t = jnp.where(curv > 0, 1.0 / curv, 1.0)
+    # Cauchy point from the exact L-BFGS B·v model (compact form,
+    # ref: _trust_region_solver_lbfgs.js:47 cauchyTravel): t = g·g/g·Bg
+    wk = compact_wk(s.mem)
+    bg = bv(wk, s.g)
+    gg = jnp.vdot(s.g, s.g)
+    gbg = jnp.vdot(s.g, bg)
+    t = jnp.where(gbg > 0, gg / jnp.where(gbg == 0, 1.0, gbg), 1.0)
     dx_c = -t * s.g
     r_qn = jnp.sqrt(jnp.vdot(dx_qn, dx_qn))
     r_c = jnp.sqrt(jnp.vdot(dx_c, dx_c))
@@ -180,8 +180,8 @@ def _min_dogleg_step(fg, opt, s: _MinDLState) -> _MinDLState:
 
     x_new = s.x + dx
     f_new, g_new = fg(x_new)
-    # model decrease with curvature known only along ĝ
-    predicted = -jnp.vdot(s.g, dx) - 0.5 * curv * jnp.vdot(ghat, dx) ** 2
+    # exact model decrease: m(0) − m(dx) = −gᵀdx − ½·dxᵀ·B·dx
+    predicted = -jnp.vdot(s.g, dx) - 0.5 * jnp.vdot(dx, bv(wk, dx))
     predicted = jnp.maximum(predicted, -jnp.vdot(s.g, dx) * 0.5)
     actual = s.f - f_new
     rho = actual / jnp.where(predicted == 0, 1.0, predicted)

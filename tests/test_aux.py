@@ -78,10 +78,41 @@ def test_istr_and_b64():
     rng = TestRNG("istr")
     a = rng.matrix(4, 5).astype(np.float32)
     s = nd.io.istr_stringify(a)
-    assert isinstance(s, str) and s.startswith("float32[4,5]:")
+    assert isinstance(s, str) and s.startswith("float32[4,5]\n")
     assert np.array_equal(np.asarray(nd.io.istr_parse(s)), a)
     b = nd.io.b64_decode(nd.io.b64_encode(a), np.float32, (4, 5))
     assert np.array_equal(np.asarray(b), a)
+
+
+def test_istr_reference_wire_format():
+    """Exact compatibility with the reference format (io/istr.js:26,86):
+    header 'dtype[d1,d2]' + newline + base64 of little-endian bytes,
+    wrapped every 128 chars, whitespace skipped on parse."""
+    import base64
+    rng = TestRNG("istr-wire")
+    for dtype in ["float64", "float32", "int32"]:
+        a = (rng.matrix(11, 13) * 100).astype(dtype)
+        raw = base64.b64encode(
+            np.ascontiguousarray(a.astype(a.dtype.newbyteorder("<")))
+            .tobytes()).decode("ascii")
+        # as the reference emits it: wrapped lines
+        wrapped = "\n".join(raw[i:i + 128] for i in range(0, len(raw), 128))
+        ref_text = f"{dtype}[11,13]\n{wrapped}"
+        assert np.array_equal(np.asarray(nd.io.istr_parse(ref_text)), a)
+        # and ours matches byte-for-byte
+        assert nd.io.istr_stringify(a) == ref_text
+    # scalar: empty shape '[]' (istr.js:48 's.length===0' break)
+    sc = np.float64(3.5)
+    raw = base64.b64encode(np.asarray(sc).tobytes()).decode("ascii")
+    out = nd.io.istr_parse(f"float64[]\n{raw}")
+    assert np.asarray(out).shape == () and float(out) == 3.5
+    # unpadded base64 (decoder stops at '=' / end: io/b64.js:46-48)
+    v = np.arange(3, dtype=np.int32)
+    raw = base64.b64encode(v.tobytes()).decode("ascii").rstrip("=")
+    assert np.array_equal(np.asarray(nd.io.istr_parse(f"int32[3]\n{raw}")), v)
+    # legacy 'dtype[shape]:b64' strings from this repo still parse
+    legacy = "int32[3]:" + base64.b64encode(v.tobytes()).decode("ascii")
+    assert np.array_equal(np.asarray(nd.io.istr_parse(legacy)), v)
 
 
 def test_pyon():

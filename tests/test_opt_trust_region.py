@@ -105,3 +105,34 @@ def test_lsq_lm_jittable_and_vmappable():
     xs = jax.vmap(lambda x0: opt.lsq_lm(fJ, x0, max_iter=60)[0])(
         jnp.asarray([[1.0, 0.0], [2.0, 1.0]]))
     assert xs.shape == (2, 2)
+
+
+def test_newton_step_minimum_norm_rank_deficient():
+    """Rank-deficient J: the Gauss-Newton step must be the minimum-
+    ‖D·dx‖ solution (ref: _trust_region_solver_lsq.js:337-377, URV
+    branch), not an arbitrary bounded one."""
+    from nd4js_tpu.opt._trust_region import lsq_state, newton_step
+    rng = TestRNG("tr-minnorm")
+    for m, n, r in [(8, 5, 3), (12, 6, 2), (5, 5, 4), (4, 7, 3)]:
+        a, _ = rng.rankdef(m, n, rank=r, dtype=jnp.float64)
+        j = np.asarray(a, np.float64)
+        f = np.asarray(rng.matrix(m, 1), np.float64)[:, 0]
+        st = lsq_state(jnp.zeros(n, jnp.float64), jnp.asarray(f),
+                       jnp.asarray(j))
+        dx, dnorm, dr = jax.jit(newton_step)(st)
+        dx = np.asarray(dx)
+        d = np.asarray(st.d)
+        # residual-optimal: matches numpy's min-norm lstsq residual
+        x_np = np.linalg.lstsq(j, -f, rcond=1e-10)[0]
+        assert np.linalg.norm(j @ dx + f) <= \
+            np.linalg.norm(j @ x_np + f) + 1e-8
+        # minimum D-norm among residual minimisers: project onto the
+        # nullspace of J — min-norm solution has no D^-2-weighted
+        # nullspace component
+        _, sv, vt = np.linalg.svd(j)
+        null = vt[r:]                       # (n-r, n) nullspace basis
+        # dx minimises ||D dx|| <=> D^2 dx ⟂ null(J)
+        assert np.abs(null @ (d * d * dx)).max() < 1e-8 * max(
+            1.0, np.abs(d * d * dx).max())
+        assert np.isclose(float(dnorm), np.linalg.norm(d * dx), atol=1e-10)
+        assert float(dr) <= 0.0
