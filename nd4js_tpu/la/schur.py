@@ -114,6 +114,68 @@ def _get(h, i, j):
     return jax.lax.dynamic_slice(h, (_i32(i), _i32(j)), (1, 1))[0, 0]
 
 
+def _chase_windowed(hp, qp, lo, hi, p0, p1, p2, W: int, n: int):
+    """One Francis double-shift bulge chase lo→hi, windowed: the bulge
+    is chased through W-position blocks whose reflectors touch only a
+    (W, W) diagonal block while accumulating the block-orthogonal V;
+    each slide then applies V to the off-block rows/columns and Q as
+    three GEMMs (the MXU-aggregated equivalent of the reference's
+    per-reflector full-row updates, schur.js:415-660; same math as
+    LAPACK's dlaqr5 row/column deferral). hp/qp are (n+W, n+W) padded
+    so every W-slice is in-bounds."""
+    dtype = hp.dtype
+    npad = hp.shape[0]
+    eyeW = jnp.eye(W, dtype=dtype)
+    n_slides = -(-(max(n - 1, 1)) // (W - 3))
+
+    def slide(s, carry):
+        hp, qp, p0, p1, p2 = carry
+        w0 = lo + _i32(s) * (W - 3)
+
+        def do(args):
+            hp, qp, p0, p1, p2 = args
+            b = jax.lax.dynamic_slice(hp, (w0, w0), (W, W))
+
+            def pos(kb, c):
+                b, v, p0, p1, p2 = c
+                k = w0 + kb
+                act = k <= hi - 3
+                v0, v1, v2, tau = _house3(p0, p1, p2)
+                tau = jnp.where(act, tau, 0.0)
+                vv = jnp.stack([v0, v1, v2])
+                b = _apply_house3_rows(b, kb, vv, tau)
+                b = _apply_house3_cols(b, kb, vv, tau)
+                v = _apply_house3_cols(v, kb, vv, tau)
+                np0 = _get(b, kb + 1, kb)
+                np1 = _get(b, kb + 2, kb)
+                np2 = jnp.where(k + 3 < hi, _get(b, kb + 3, kb), 0.0)
+                p0 = jnp.where(act, np0, p0)
+                p1 = jnp.where(act, np1, p1)
+                p2 = jnp.where(act, np2, p2)
+                return b, v, p0, p1, p2
+
+            _, v, p0, p1, p2 = jax.lax.fori_loop(
+                0, W - 3, pos, (b, eyeW, p0, p1, p2))
+            # deferred off-block updates: Hp ← diag(I,V,I)ᵀ·Hp·diag(I,V,I)
+            rows = jax.lax.dynamic_slice(hp, (w0, _Z()), (W, npad))
+            rows = jnp.einsum("ij,ik->jk", v, rows, precision="highest")
+            hp = jax.lax.dynamic_update_slice(hp, rows, (w0, _Z()))
+            cols = jax.lax.dynamic_slice(hp, (_Z(), w0), (npad, W))
+            cols = jnp.einsum("ij,jk->ik", cols, v, precision="highest")
+            hp = jax.lax.dynamic_update_slice(hp, cols, (_Z(), w0))
+            qc = jax.lax.dynamic_slice(qp, (_Z(), w0), (npad, W))
+            qc = jnp.einsum("ij,jk->ik", qc, v, precision="highest")
+            qp = jax.lax.dynamic_update_slice(qp, qc, (_Z(), w0))
+            return hp, qp, p0, p1, p2
+
+        return jax.lax.cond(w0 <= hi - 3, do, lambda a_: a_,
+                            (hp, qp, p0, p1, p2))
+
+    hp, qp, p0, p1, p2 = jax.lax.fori_loop(
+        0, n_slides, slide, (hp, qp, p0, p1, p2))
+    return hp, qp, p0, p1
+
+
 def _schur_core(a, max_iter_factor: int = 40):
     n = a.shape[-1]
     dtype = a.dtype
@@ -144,8 +206,18 @@ def _schur_core(a, max_iter_factor: int = 40):
         t = jnp.where(real, t.at[1, 0].set(0.0), t)
         return t, g
     h, q = _hessenberg_core(a)
+    # windowed (GEMM-aggregated) chase for n ≥ 8: pad by the window
+    # size so every (W, W) block slice is in-bounds; the padding block
+    # is an inert identity (zero subdiagonals — never activates)
+    use_win = n >= 8
+    W = min(128, n)
+    npad = n + W if use_win else n
+    if use_win:
+        pad_eye = jnp.eye(npad, dtype=dtype)
+        h = pad_eye.at[:n, :n].set(h)
+        q = pad_eye.at[:n, :n].set(q)
     max_iter = max_iter_factor * n
-    idx = jnp.arange(n - 1, dtype=jnp.int32)
+    idx = jnp.arange(npad - 1, dtype=jnp.int32)
 
     def window(h, locked):
         s_eff = jnp.where(locked, 0.0, _subdiag(h))
@@ -224,28 +296,29 @@ def _schur_core(a, max_iter_factor: int = 40):
         p1 = h10 * (h00 + h11 - tr)
         p2 = h10 * h21
 
-        def step(k, carry):
-            h, q, p0, p1, p2 = carry
-            v0, v1, v2, tau = _house3(p0, p1, p2)
-            v = jnp.stack([v0, v1, v2])
-            # at the last position the bulge is a 2-vector: mask v2
-            last = k == hi - 3
-            h = _apply_house3_rows(h, k, v, tau)
-            h = _apply_house3_cols(h, k, v, tau)
-            q = _apply_house3_cols(q, k, v, tau)
-            # next bulge column
-            np0 = _get(h, k + 1, k)
-            np1 = _get(h, k + 2, k)
-            np2 = jax.lax.cond(
-                k + 3 < hi,
-                lambda _: _get(h, jnp.minimum(k + 3, n - 1), k),
-                lambda _: jnp.zeros((), dtype), 0)
-            return h, q, np0, np1, np2
+        if use_win:
+            h, q, p0, p1 = _chase_windowed(h, q, lo, hi, p0, p1, p2,
+                                           W, n)
+        else:
+            def step(k, carry):
+                h, q, p0, p1, p2 = carry
+                v0, v1, v2, tau = _house3(p0, p1, p2)
+                v = jnp.stack([v0, v1, v2])
+                h = _apply_house3_rows(h, k, v, tau)
+                h = _apply_house3_cols(h, k, v, tau)
+                q = _apply_house3_cols(q, k, v, tau)
+                # next bulge column
+                np0 = _get(h, k + 1, k)
+                np1 = _get(h, k + 2, k)
+                np2 = jax.lax.cond(
+                    k + 3 < hi,
+                    lambda _: _get(h, jnp.minimum(k + 3, n - 1), k),
+                    lambda _: jnp.zeros((), dtype), 0)
+                return h, q, np0, np1, np2
 
-        # pad the matrix by one row/col so 3-slices never clip: instead
-        # we guarantee k+2 <= hi-1 <= n-1 by iterating k in [lo, hi-2)
-        h, q, p0, p1, p2 = jax.lax.fori_loop(
-            lo, jnp.maximum(hi - 2, lo), step, (h, q, p0, p1, p2))
+            # we guarantee k+2 <= hi-1 <= n-1 by iterating k in [lo, hi-2)
+            h, q, p0, p1, p2 = jax.lax.fori_loop(
+                lo, jnp.maximum(hi - 2, lo), step, (h, q, p0, p1, p2))
         # final 2-vector rotation to clear the (hi-1, hi-3) bulge entry
         g1, g2 = p0, p1
         nrm = jnp.sqrt(g1 * g1 + g2 * g2)
@@ -283,11 +356,13 @@ def _schur_core(a, max_iter_factor: int = 40):
         stuck = jnp.where(hi != hi_prev, 0, stuck)
         return h, q, locked, it + 1, stuck, hi
 
-    locked0 = jnp.zeros((n - 1,), bool)
+    locked0 = jnp.zeros((npad - 1,), bool)
     h, q, locked, it, _, _ = jax.lax.while_loop(
         cond_fn, body,
         (h, q, locked0, jnp.zeros((), jnp.int32),
          jnp.zeros((), jnp.int32), jnp.asarray(-1, jnp.int32)))
+    if use_win:
+        h, q = h[:n, :n], q[:n, :n]
     # clean below the subdiagonal (bulge-chase roundoff noise)
     r = jnp.arange(n)[:, None]
     c = jnp.arange(n)[None, :]
@@ -413,8 +488,10 @@ def schur_eigen(q, t, split: bool = False):
         n = t.shape[-1]
         qc, tc, lam = _complex_triangularize_reim(q, t)
         eps = jnp.finfo(t.dtype).eps
-        tnorm = jnp.maximum(jnp.max(jnp.abs(tc[0])), jnp.max(jnp.abs(tc[1])))
-        den_floor = eps * tnorm + jnp.finfo(t.dtype).tiny
+        # repeated-eigenvalue tolerance: √eps·‖T‖_F (ref: schur.js:254)
+        tol = jnp.sqrt(eps) * jnp.sqrt(
+            jnp.sum(tc[0] * tc[0] + tc[1] * tc[1])) \
+            + jnp.finfo(t.dtype).tiny
         # backward substitution for all eigenvectors at once:
         # (T − λ_k)·x = 0, x[k,k] = 1, columns k solved simultaneously
         x = (jnp.eye(n, dtype=t.dtype), jnp.zeros((n, n), t.dtype))
@@ -432,13 +509,28 @@ def schur_eigen(q, t, split: bool = False):
             tii = (row[0][jnp.maximum(i, 0)], row[1][jnp.maximum(i, 0)])
             den = cpx.sub((jnp.full((n,), tii[0]), jnp.full((n,), tii[1])),
                           lam)
-            small = cpx.cabs(den) < den_floor
-            den = (jnp.where(small, den[0] + den_floor, den[0]), den[1])
-            xi = cpx.div((-acc[0], -acc[1]), den)
+            # defective-matrix fallback (ref: schur.js:188-203): when
+            # T_ii − λ_k is negligible, either the partial vector is
+            # already valid (acc ≈ 0 → x_i = 0) or no independent
+            # eigenvector exists for λ_k below row i → restart the
+            # column at x_i = 1, zeroing the tail (duplicating the
+            # eigenvector of the earlier equal eigenvalue, as the
+            # reference does)
+            small = cpx.cabs(den) <= tol
+            restart = small & (cpx.cabs(acc) > tol)
+            safe_den = (jnp.where(small, 1.0, den[0]),
+                        jnp.where(small, 0.0, den[1]))
+            xi = cpx.div((-acc[0], -acc[1]), safe_den)
+            xi = cpx.where(small, cpx.where(
+                restart, cpx.cpx(jnp.ones((n,), t.dtype)),
+                cpx.cpx(jnp.zeros((n,), t.dtype))), xi)
             xi = cpx.where(col_idx > i, xi,
                            cpx.where(col_idx == i,
                                      cpx.cpx(jnp.ones((n,), t.dtype)),
                                      cpx.cpx(jnp.zeros((n,), t.dtype))))
+            # restart wipes the already-computed tail rows (> i)
+            wipe = restart[None, :] & (jnp.arange(n)[:, None] > i)
+            x = (jnp.where(wipe, 0.0, x[0]), jnp.where(wipe, 0.0, x[1]))
             return (jax.lax.dynamic_update_slice(x[0], xi[0][None, :],
                                                  (ii, _Z())),
                     jax.lax.dynamic_update_slice(x[1], xi[1][None, :],

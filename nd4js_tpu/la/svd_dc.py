@@ -1,18 +1,19 @@
-"""Divide-&-conquer SVD.
+"""Divide-&-conquer SVD — direct bidiagonal (unsquared).
 
 Parity with /root/reference/src/la/svd_dc.js (:827-932 — bidiagonal
-reduction, divide-&-conquer with secular solves, GEMM back-transforms).
+reduction, divide-&-conquer with secular solves, GEMM back-transforms;
+the "double divide and conquer" of :159 works on the bidiagonal
+directly, never forming BᵀB).
 
 TPU-first mechanism: bidiagonalise (bidiag.py), then solve the
-symmetric tridiagonal eigenproblem of T = BᵀB with the vectorised
-divide-&-conquer engine (tridiag_dc.py), and recover the left factor as
-U = B·V·Σ⁻¹ with the singular values recomputed as ‖B·V‖ column norms —
-no σ² precision loss in Σ itself, and the heavy work (merge
-back-transforms, U recovery, outer back-transforms) is all GEMMs. The
-reference's direct bidiagonal D&C ("double divide and conquer",
-svd_dc.js:159) avoids the Gram step; for singular values below
-√eps·‖A‖ the one-sided Jacobi (svd_jac.py, the library default) is the
-more accurate choice — svd_dc is the throughput path.
+Golub-Kahan TGK eigenproblem — the permuted [[0, Bᵀ], [B, 0]] is a
+2K×2K symmetric tridiagonal with zero diagonal and interleaved
+offdiagonals (a₁, b₁, a₂, b₂, …, a_K); its eigenpairs are ±σᵢ with
+eigenvectors interleaving (v, u) components — via the vectorised
+divide-&-conquer engine (tridiag_dc.py). Like the reference's direct
+bidiagonal D&C this never squares B, so singular values far below
+√eps·‖A‖ keep relative accuracy (the old BᵀB route lost them). The
+heavy work (merge back-transforms, outer back-transforms) is all GEMMs.
 """
 from __future__ import annotations
 
@@ -29,6 +30,18 @@ from .svd_jac import _complete_u
 __all__ = ["svd_dc"]
 
 
+def _orth_polish(q):
+    """One CholeskyQR pass: restores machine-eps orthogonality of an
+    already nearly-orthogonal square factor (Gram ≈ I so the Cholesky
+    never breaks; the ~‖R−I‖·‖A‖ ≈ eps·‖A‖ reconstruction cost is far
+    inside the contract)."""
+    from .cholesky import _chol_core
+    from .tri import _tril_inv_core
+    g = mm(mt(q), q)
+    l = _chol_core(g)
+    return mm(q, mt(_tril_inv_core(l)))
+
+
 def _svd_dc_core(a):
     M, N = a.shape
     if M < N:
@@ -43,31 +56,33 @@ def _svd_dc_core(a):
         return ub * sgn, s[None], vb
     diag = jnp.diagonal(b)
     sup = jnp.diagonal(b, offset=1)
-    # T = BᵀB tridiagonal: d_i = b_ii² + b_{i-1,i}², e_i = b_ii·b_i,i+1
-    pad = jnp.zeros((1,), a.dtype)
-    d_t = diag * diag + jnp.concatenate([pad, sup * sup])
-    e_t = diag[:-1] * sup
-    w, v_t = tridiag_eigh_dc(d_t, e_t)
-    # descending singular values
-    v_t = v_t[:, ::-1]
-    bv = mm(b, v_t)                       # (K, K)
-    sv = jnp.sqrt(jnp.sum(bv * bv, axis=0))
-    order = jnp.argsort(-sv)              # guard against D&C misordering
-    sv = sv[order]
-    v_t = v_t[:, order]
-    bv = bv[:, order]
-    safe = jnp.where(sv > 0, sv, jnp.ones_like(sv))
-    u_b = bv / safe[None, :]
-    u_b = _complete_u(u_b, sv, tol_rank=eps * K * jnp.max(sv))
-    # one CholeskyQR polish: U is orthogonal to ~eps·κ(Σ) from the Gram
-    # route; its Gram is ≈ I, so a single chol pass restores machine-eps
-    # orthogonality (the ~‖R−I‖·‖A‖ ≈ eps·‖A‖ reconstruction cost is
-    # far inside the contract)
-    from .cholesky import _chol_core
-    from .tri import _tril_inv_core
-    g = mm(mt(u_b), u_b)
-    l = _chol_core(g)
-    u_b = mm(u_b, mt(_tril_inv_core(l)))
+    # TGK: offdiagonals interleave (a₁, b₁, a₂, b₂, …, a_K), zero diag
+    off = jnp.zeros((2 * K - 1,), a.dtype)
+    off = off.at[0::2].set(diag).at[1::2].set(sup)
+    w, y = tridiag_eigh_dc(jnp.zeros((2 * K,), a.dtype), off)
+    # positive half (ascending w → last K entries), descending order
+    sv = jnp.maximum(w[K:][::-1], 0.0)
+    y = y[:, K:][:, ::-1]                 # (2K, K)
+    # eigenvector of +σ interleaves (v₁, u₁, v₂, u₂, …)/√2
+    v_t = y[0::2, :]
+    u_b = y[1::2, :]
+    # per-column renormalisation (exact halves only for simple ±σ
+    # pairs; σ ≈ 0 pairs can come out unbalanced)
+    vn = jnp.sqrt(jnp.sum(v_t * v_t, axis=0))
+    un = jnp.sqrt(jnp.sum(u_b * u_b, axis=0))
+    v_t = v_t / jnp.where(vn == 0, 1.0, vn)[None, :]
+    u_b = u_b / jnp.where(un == 0, 1.0, un)[None, :]
+    # sign fix: make U·diag(sv)·Vᵀ reproduce B's diagonal sign pattern
+    # (σ columns are sign-ambiguous per (u, v) pair — pin u's sign to
+    # B·v's)
+    bv = mm(b, v_t)
+    flip = jnp.where(jnp.sum(bv * u_b, axis=0) < 0, -1.0, 1.0)
+    u_b = u_b * flip[None, :]
+    tol_rank = eps * K * jnp.max(sv)
+    u_b = _complete_u(u_b, sv, tol_rank=tol_rank)
+    v_t = _complete_u(v_t, sv, tol_rank=tol_rank)
+    u_b = _orth_polish(u_b)
+    v_t = _orth_polish(v_t)
     return mm(ub, u_b), sv, mm(mt(v_t), vb)
 
 

@@ -2,6 +2,7 @@
 orthogonality, quasi-triangular structure, reconstruction, eigenvalue
 multiset vs numpy, eigenpair residuals, balancing."""
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from nd4js_tpu import la
@@ -95,3 +96,28 @@ def test_eigen_balance():
     lam, v = np.asarray(lam), np.asarray(v)
     resid = np.abs(a @ v - v * lam[None, :]).max()
     assert resid <= 1e-7 * np.abs(a).max()
+
+
+def test_schur_eigen_defective_matrix():
+    """Defective (repeated-eigenvalue, single-eigenvector) matrices:
+    the back-substitution must fall back to duplicating the eigenvector
+    instead of emitting huge arbitrary components
+    (ref: schur.js:188-203)."""
+    # 4x4 Jordan-ish: eigenvalue 2 with a 2-chain, plus 5 and 7
+    a = np.asarray([[2.0, 1.0, 3.0, 0.0],
+                    [0.0, 2.0, 1.0, 2.0],
+                    [0.0, 0.0, 5.0, 1.0],
+                    [0.0, 0.0, 0.0, 7.0]])
+    q, t = la.schur_decomp(jnp.asarray(a))
+    (lr, li), (vr, vi) = la.schur_eigen(q, t, split=True)
+    lam = np.sort(np.asarray(lr))
+    assert_all_close(lam, [2.0, 2.0, 5.0, 7.0], atol=1e-8)
+    assert np.abs(np.asarray(li)).max() < 1e-8
+    v = np.asarray(vr) + 1j * np.asarray(vi)
+    # every returned column is a unit-norm true eigenvector: A v = λ v
+    lamv = np.asarray(lr) + 1j * np.asarray(li)
+    resid = a @ v - v * lamv[None, :]
+    assert np.abs(resid).max() < 1e-7, np.abs(resid).max()
+    assert np.allclose(np.linalg.norm(v, axis=0), 1.0)
+    # components stay O(1) — no den-floor blowups
+    assert np.abs(v).max() <= 1.0 + 1e-12

@@ -3,6 +3,7 @@
 sorted non-negative singular values, orthogonality ≤ eps·4·max(M,N),
 reconstruction, then lstsq/rank/solve on compositions."""
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from nd4js_tpu import la
@@ -158,3 +159,21 @@ def test_lstsq_urv_method_matches_svd():
     x_svd = np.asarray(la.lstsq(a, y))
     x_urv = np.asarray(la.lstsq(a, y, method="urv"))
     assert_all_close(x_urv, x_svd, rtol=1e-8, atol=1e-10)
+
+
+def test_svd_dc_small_singular_values():
+    """Direct (TGK, unsquared) bidiagonal D&C keeps relative accuracy
+    for singular values far below √eps·‖A‖ — the BᵀB route lost these
+    (ref: svd_dc.js:169-658 solves the bidiagonal problem directly)."""
+    rng = TestRNG("svd_dc_small")
+    sv_true = np.asarray([3.0, 1.0, 1e-5, 1e-9, 1e-12])
+    n = sv_true.size
+    q1 = np.linalg.qr(np.asarray(rng.matrix(n, n), np.float64))[0]
+    q2 = np.linalg.qr(np.asarray(rng.matrix(n, n), np.float64))[0]
+    a = jnp.asarray(q1 @ np.diag(sv_true) @ q2)
+    u, sv, v = la.svd_dc(a)
+    sv = np.asarray(sv)
+    # relative accuracy on every σ, including 1e-12 (≪ √eps·‖A‖ ≈ 5e-8)
+    assert np.all(np.abs(sv - sv_true) <= 1e-3 * sv_true + 1e-15), sv
+    rec = np.asarray(u, np.float64) @ np.diag(sv) @ np.asarray(v, np.float64)
+    assert np.abs(rec - np.asarray(a)).max() < 1e-13
