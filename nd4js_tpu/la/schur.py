@@ -49,7 +49,13 @@ def _zero_small_subdiags(h, eps):
     r = jnp.arange(n)[:, None]
     c = jnp.arange(n)[None, :]
     d = jnp.abs(jnp.diagonal(h))
-    small = jnp.abs(h) <= eps * (d[None, :] + d[:, None])
+    # 16·eps: each full-window sweep re-injects ~few·eps·|H| of rounding
+    # noise into already-converged subdiagonals, so the exact-eps test
+    # keeps *missing* them and the window never shrinks (measured: a
+    # converged 1e-15 entry hovered above the 4e-16 threshold for tens
+    # of sweeps, and a 6.5e-15 one slipped past 8·eps and got locked
+    # into an invalid block). Backward error stays O(eps·‖H‖).
+    small = jnp.abs(h) <= 16 * eps * (d[None, :] + d[:, None])
     return jnp.where((r == c + 1) & small, 0.0, h)
 
 
@@ -176,6 +182,229 @@ def _chase_windowed(hp, qp, lo, hi, p0, p1, p2, W: int, n: int):
     return hp, qp, p0, p1
 
 
+def _chase_multishift(hp, qp, lo, hi, trs, dets, W: int, NB: int, n: int):
+    """Small-bulge multishift sweep: NB Francis double-shift bulges,
+    spaced 3 rows apart, chased simultaneously. Each group step applies
+    all NB reflectors at once — their row supports are disjoint, so
+    Π(I − τᵢvᵢvᵢᵀ) = I − V·diag(τ)·Vᵀ exactly — as rank-NB updates of
+    the (W, W) window block, i.e. MXU work instead of NB sequential
+    3-row passes (the TPU form of LAPACK dlaqr5's delayed-update
+    train; ref seam schur.js:415-660). Off-window rows/columns and Q
+    get the accumulated V per slide, as in _chase_windowed. hp/qp are
+    padded left by ≥ 3·(NB−1) and right by ≥ W (see _schur_core)."""
+    dtype = hp.dtype
+    npad = hp.shape[0]
+    OFF = 3 * (NB - 1)
+    SL = W - 3 * NB
+    eyeW = jnp.eye(W, dtype=dtype)
+    n_slides = -(-(n - 1 + 3 * NB) // SL)
+    ii = jnp.arange(NB)
+    rowW = jnp.arange(W)
+
+    p_init = jnp.zeros((NB, 3), dtype)
+
+    def slide(s, carry):
+        hp, qp, P = carry
+        w0 = lo + _i32(s) * SL - OFF
+
+        def do(args):
+            hp, qp, P = args
+            b = jax.lax.dynamic_slice(hp, (w0, w0), (W, W))
+
+            def step(t, c):
+                b, v, P = c
+                k = lo + _i32(s) * SL + t - 3 * ii            # (NB,)
+                kb = t + OFF - 3 * ii
+                act = (k >= lo) & (k <= hi - 2)
+                # bulge entry: first column of (H−s₁ᵢ)(H−s₂ᵢ)·e₁ from
+                # the CURRENT (partially transformed) matrix — the
+                # implicit-Q product polynomial requires each bulge to
+                # be seeded after its predecessors' updates landed
+                entering = k == lo
+                flat0 = b.reshape(-1)
+                kbc = jnp.clip(kb, 0, W - 3)
+
+                def at(di, dj):
+                    return flat0[(kbc + di) * W + (kbc + dj)]
+
+                b00, b01 = at(0, 0), at(0, 1)
+                b10, b11 = at(1, 0), at(1, 1)
+                b21 = at(2, 1)
+                ip0 = b00 * b00 + b01 * b10 - trs * b00 + dets
+                ip1 = b10 * (b00 + b11 - trs)
+                ip2 = b10 * b21
+                P = jnp.where(entering[:, None],
+                              jnp.stack([ip0, ip1, ip2], axis=1), P)
+                p0, p1 = P[:, 0], P[:, 1]
+                p2 = jnp.where(k == hi - 2, 0.0, P[:, 2])
+                v0, v1, v2, tau = jax.vmap(_house3)(p0, p1, p2)
+                tau = jnp.where(act, tau, 0.0)
+                vmat = jnp.stack([v0, v1, v2], axis=1)        # (NB, 3)
+                # scatter the NB disjoint 3-supports into (W, NB)
+                rel = rowW[:, None] - kb[None, :]
+                vblk = jnp.zeros((W, NB), dtype)
+                for j in range(3):
+                    vblk = vblk + jnp.where(rel == j,
+                                            vmat[None, :, j], 0.0)
+                tv = tau[None, :] * vblk                      # (W, NB)
+                # B ← (I − VτVᵀ)·B·(I − VτVᵀ), V ← V·(I − VτVᵀ)
+                b = b - mm(vblk, mm(mt(tv), b))
+                b = b - mm(mm(b, tv), mt(vblk))
+                v = v - mm(mm(v, tv), mt(vblk))
+                # next bulge columns: B[kbᵢ+1+j, kbᵢ]
+                flat = b.reshape(-1)
+                idxs = (kb[:, None] + 1 + jnp.arange(3)[None, :]) * W \
+                    + kb[:, None]
+                nxt = flat[idxs]                              # (NB, 3)
+                nxt = jnp.where((k[:, None] + 3 < hi)
+                                | (jnp.arange(3)[None, :] < 2),
+                                nxt, 0.0)
+                P = jnp.where(act[:, None], nxt, P)
+                return b, v, P
+
+            _, v, P = jax.lax.fori_loop(0, SL, step, (b, eyeW, P))
+            rows = jax.lax.dynamic_slice(hp, (w0, _Z()), (W, npad))
+            rows = jnp.einsum("ij,ik->jk", v, rows, precision="highest")
+            hp = jax.lax.dynamic_update_slice(hp, rows, (w0, _Z()))
+            cols = jax.lax.dynamic_slice(hp, (_Z(), w0), (npad, W))
+            cols = jnp.einsum("ij,jk->ik", cols, v, precision="highest")
+            hp = jax.lax.dynamic_update_slice(hp, cols, (_Z(), w0))
+            qc = jax.lax.dynamic_slice(qp, (_Z(), w0), (npad, W))
+            qc = jnp.einsum("ij,jk->ik", qc, v, precision="highest")
+            qp = jax.lax.dynamic_update_slice(qp, qc, (_Z(), w0))
+            return hp, qp, P
+
+        # tail bulge still has positions to process in this slide?
+        return jax.lax.cond(w0 <= hi - 2, do, lambda a_: a_,
+                            (hp, qp, P))
+
+    hp, qp, _ = jax.lax.fori_loop(0, n_slides, slide,
+                                  (hp, qp, p_init))
+    return hp, qp
+
+
+def _house_seg(x, head, limit, aw: int):
+    """Householder compressing rows [head, limit) of x into row
+    ``head``: (I − τ·v·vᵀ)·x has zeros at rows (head, limit). v[head]=1;
+    τ = 0 (identity) when the live segment has ≤ 1 entry."""
+    idxr = jnp.arange(aw)
+    inseg = (idxr >= head) & (idxr < limit)
+    seg = jnp.where(inseg, x, 0.0)
+    h0 = jnp.sum(jnp.where(idxr == head, seg, 0.0))
+    sigma = jnp.sum(seg * seg) - h0 * h0
+    sigma = jnp.maximum(sigma, 0.0)
+    nrm = jnp.sqrt(h0 * h0 + sigma)
+    beta = jnp.where(h0 >= 0, -nrm, nrm)
+    den = h0 - beta
+    safe_den = jnp.where(den == 0, 1.0, den)
+    v = jnp.where(inseg & (idxr != head), seg / safe_den, 0.0)
+    v = v + jnp.where(inseg & (idxr == head), 1.0, 0.0)
+    safe_beta = jnp.where(beta == 0, 1.0, beta)
+    tau = jnp.where((sigma == 0) | (nrm == 0), 0.0,
+                    (beta - h0) / safe_beta)
+    return v, tau
+
+
+def _aed(h, q, locked, lo, hi, AW: int, NS: int, eps, schur_small):
+    """Aggressive early deflation (LAPACK dlaqr2-style, the mechanism
+    that makes multishift QR converge — ref seam schur.js:415-660's
+    recursive deflation plays this role in the reference).
+
+    Takes the trailing AW×AW window, computes its real Schur form
+    (``schur_small``), and tests the *spike* s·Q_w[0,:] block-by-block
+    from the bottom: trailing blocks with negligible spike entries are
+    converged eigenvalues of the full matrix even though no single
+    subdiagonal is small yet. Deflated: commit by applying the window
+    similarity, zeroing the deflated spike tail, and re-Hessenbergising
+    the surviving window rows via a locally accumulated Z (masked
+    Householder chain) — three GEMMs against the full matrix. Returns
+    (d, h, q, locked, trs, dets): the deflation count and NS/2 fresh
+    double-shift polynomials from the surviving window eigenvalues."""
+    dtype = h.dtype
+    npad = h.shape[0]
+    aw = AW
+    w0 = hi - aw
+    sw = jax.lax.dynamic_slice(h, (w0, w0), (aw, aw))
+    s_spike = _get(h, w0, w0 - 1)
+    tw, qw = schur_small(sw)
+    sp = s_spike * qw[0, :]
+    idxa = jnp.arange(aw)
+    dvec = jnp.abs(jnp.diagonal(tw))
+    sub = jnp.concatenate([jnp.diagonal(tw, -1),
+                           jnp.zeros((1,), dtype)])       # sub[j]=T[j+1,j]
+    subm = jnp.concatenate([jnp.zeros((1,), dtype),
+                            jnp.diagonal(tw, -1)])        # subm[j]=T[j,j-1]
+    isstart = sub != 0
+    is2nd = subm != 0
+    blkmag = dvec + jnp.where(isstart, jnp.roll(dvec, -1), 0.0) \
+        + jnp.where(is2nd, jnp.roll(dvec, 1), 0.0)
+    tol = 8 * eps * jnp.maximum(blkmag, jnp.finfo(dtype).tiny)
+    ok = jnp.abs(sp) <= tol
+    # a 2×2 block deflates only as a whole; positions inside coupled
+    # ≥3×3 junk (adjacent nonzero subdiagonals — the nested Schur hit
+    # its iteration cap) must never deflate, or the lock below would
+    # freeze a non-Schur block into the output
+    sane = ~(isstart & is2nd)
+    ok = ok & sane & (~isstart | jnp.roll(sane, -1)) \
+        & (~is2nd | jnp.roll(sane, 1))
+    okblk = ok & (~isstart | jnp.roll(ok, -1)) & (~is2nd | jnp.roll(ok, 1))
+    lastbad = jnp.max(jnp.where(~okblk, idxa, -1))
+    d = (aw - 1 - lastbad).astype(jnp.int32)
+
+    def commit(args):
+        h, q, locked = args
+        spm = jnp.where(idxa < aw - d, sp, 0.0)
+        mloc = jnp.concatenate([spm[:, None], tw], axis=1)  # (aw, aw+1)
+        z0 = jnp.eye(aw, dtype=dtype)
+
+        def red(c, carry):
+            mloc, z = carry
+            # column c of [spike | T_w] may keep rows ≤ c (its H column
+            # is w0−1+c): compress rows [c, aw−d) into row c
+            v, tau = _house_seg(mloc[:, c], c, aw - d, aw)
+            wr = tau * (v @ mloc)
+            mloc = mloc - v[:, None] * wr[None, :]
+            mw = mloc[:, 1:]
+            wc = tau * (mw @ v)
+            mw = mw - wc[:, None] * v[None, :]
+            mloc = jnp.concatenate([mloc[:, :1], mw], axis=1)
+            z = z - tau * jnp.outer(z @ v, v)
+            return mloc, z
+
+        mloc, z = jax.lax.fori_loop(0, aw - 1, red, (mloc, z0))
+        u = mm(qw, z)                        # total window transform
+        rows = jax.lax.dynamic_slice(h, (w0, _Z()), (aw, npad))
+        rows = jnp.einsum("ij,ik->jk", u, rows, precision="highest")
+        h = jax.lax.dynamic_update_slice(h, rows, (w0, _Z()))
+        cols = jax.lax.dynamic_slice(h, (_Z(), w0), (npad, aw))
+        cols = jnp.einsum("ij,jk->ik", cols, u, precision="highest")
+        h = jax.lax.dynamic_update_slice(h, cols, (_Z(), w0))
+        qc = jax.lax.dynamic_slice(q, (_Z(), w0), (npad, aw))
+        qc = jnp.einsum("ij,jk->ik", qc, u, precision="highest")
+        q = jax.lax.dynamic_update_slice(q, qc, (_Z(), w0))
+        # commit: the spike column with its deflated tail zeroed
+        h = jax.lax.dynamic_update_slice(h, mloc[:, :1], (w0, w0 - 1))
+        # deflated complex 2×2 blocks must be locked for window()
+        jall = jnp.arange(npad - 1)
+        sd = _subdiag(h)
+        region = (jall >= hi - d) & (jall < hi - 1)
+        locked = locked | (region & (sd != 0))
+        return h, q, locked
+
+    h, q, locked = jax.lax.cond(d > 0, commit, lambda a_: a_,
+                                (h, q, locked))
+    # fresh shifts: trailing NS eigenvalues of the *surviving* window
+    re, im = _block_eigvals_reim(tw)
+    start = jnp.maximum(aw - d - NS, 0).astype(jnp.int32)
+    # don't split a 2×2 pair at the selection boundary
+    start = jnp.where((start > 0) & (subm[start] != 0), start - 1, start)
+    rr = jax.lax.dynamic_slice(re, (start,), (NS,))
+    ri = jax.lax.dynamic_slice(im, (start,), (NS,))
+    trs = rr[0::2] + rr[1::2]
+    dets = rr[0::2] * rr[1::2] - ri[0::2] * ri[1::2]
+    return d, h, q, locked, trs, dets
+
+
 def _schur_core(a, max_iter_factor: int = 40):
     n = a.shape[-1]
     dtype = a.dtype
@@ -207,15 +436,21 @@ def _schur_core(a, max_iter_factor: int = 40):
         return t, g
     h, q = _hessenberg_core(a)
     # windowed (GEMM-aggregated) chase for n ≥ 8: pad by the window
-    # size so every (W, W) block slice is in-bounds; the padding block
-    # is an inert identity (zero subdiagonals — never activates)
+    # size on the right — plus 3·(NB−1) on the left for the multishift
+    # bulge train — so every (W, W) block slice is in-bounds; the
+    # padding is an inert identity (zero subdiagonals — never activates)
     use_win = n >= 8
+    NB = 8                       # bulges per multishift sweep
+    SW = 24                      # AED window (> NS; its 24×24 Schur is
+    #                              the per-iteration deflation engine)
+    use_ms = n >= 192
     W = min(128, n)
-    npad = n + W if use_win else n
+    P0 = 24 if use_ms else 0
+    npad = P0 + n + W if use_win else n
     if use_win:
         pad_eye = jnp.eye(npad, dtype=dtype)
-        h = pad_eye.at[:n, :n].set(h)
-        q = pad_eye.at[:n, :n].set(q)
+        h = pad_eye.at[P0:P0 + n, P0:P0 + n].set(h)
+        q = pad_eye.at[P0:P0 + n, P0:P0 + n].set(q)
     max_iter = max_iter_factor * n
     idx = jnp.arange(npad - 1, dtype=jnp.int32)
 
@@ -331,6 +566,26 @@ def _schur_core(a, max_iter_factor: int = 40):
         q = _apply_rot2_cols(q, k, cs, sn)
         return h, q, locked, stuck + 1
 
+    def chase_ms(st):
+        """AED + multishift sweep (LAPACK dlaqr0-style): aggressively
+        deflate the trailing window, then — unless the deflation alone
+        made enough progress — chase NB simultaneous bulges with fresh
+        shifts from the surviving window eigenvalues."""
+        h, q, locked, lo, hi, stuck = st
+        NS = 2 * NB
+        d, h, q, locked, trs, dets = _aed(
+            h, q, locked, lo, hi, SW, NS, eps, _schur_core)
+
+        def sweep(args):
+            h, q = args
+            return _chase_multishift(h, q, lo, hi - d, trs, dets,
+                                     W, NB, n)
+
+        # LAPACK's "nibble": skip the (expensive) sweep when AED alone
+        # deflated a decent chunk — re-AED next iteration instead
+        h, q = jax.lax.cond(d < NS // 4, sweep, lambda a_: a_, (h, q))
+        return h, q, locked, stuck + 1
+
     def cond_fn(carry):
         h, q, locked, it, stuck, hi_prev = carry
         _, hi = window(h, locked)
@@ -343,9 +598,19 @@ def _schur_core(a, max_iter_factor: int = 40):
 
         def work(args):
             h, q, locked, stuck = args
-            return jax.lax.cond(
-                hi - lo == 2, standardize2, chase,
-                (h, q, locked, lo, hi, stuck))
+            st = (h, q, locked, lo, hi, stuck)
+            if not use_ms:
+                return jax.lax.cond(hi - lo == 2, standardize2, chase, st)
+            exc = (stuck % 10) == 9
+
+            def big(st):
+                # multishift needs a clean SW window below lo and room
+                # for the train; exceptional shifts go through the
+                # classic chase (which owns that logic)
+                return jax.lax.cond((hi - lo >= SW + 3 * NB + 8) & ~exc,
+                                    chase_ms, chase, st)
+
+            return jax.lax.cond(hi - lo == 2, standardize2, big, st)
 
         def done(args):
             h, q, locked, stuck = args
@@ -362,7 +627,7 @@ def _schur_core(a, max_iter_factor: int = 40):
         (h, q, locked0, jnp.zeros((), jnp.int32),
          jnp.zeros((), jnp.int32), jnp.asarray(-1, jnp.int32)))
     if use_win:
-        h, q = h[:n, :n], q[:n, :n]
+        h, q = h[P0:P0 + n, P0:P0 + n], q[P0:P0 + n, P0:P0 + n]
     # clean below the subdiagonal (bulge-chase roundoff noise)
     r = jnp.arange(n)[:, None]
     c = jnp.arange(n)[None, :]
@@ -393,7 +658,11 @@ def _block_eigvals_reim(t):
     pad1 = jnp.zeros(sub.shape[:-1] + (1,), t.dtype)
     sub = jnp.concatenate([sub, pad1], -1)
     sup = jnp.concatenate([sup, pad1], -1)
-    is_start = sub != 0                       # start of a 2x2 block at i
+    # start of a 2×2 block at i — a *significant* subdiagonal (tiny
+    # leftovers below the deflation tolerance are block boundaries)
+    eps = jnp.finfo(t.dtype).eps
+    dn_ = jnp.concatenate([jnp.abs(d[..., 1:]), pad1], -1)
+    is_start = jnp.abs(sub) > 16 * eps * (jnp.abs(d) + dn_)
     padb = jnp.zeros(is_start.shape[:-1] + (1,), bool)
     is_second = jnp.concatenate([padb, is_start[..., :-1]], -1)
     a = d
@@ -433,7 +702,10 @@ def _complex_triangularize_reim(q, t):
     n = t.shape[-1]
     sub = jnp.diagonal(t, offset=-1)
     pad1 = jnp.zeros((1,), t.dtype)
-    is_start = jnp.concatenate([sub != 0, jnp.zeros((1,), bool)], -1)
+    d_ = jnp.abs(jnp.diagonal(t))
+    eps_ = jnp.finfo(t.dtype).eps
+    sig = jnp.abs(sub) > 16 * eps_ * (d_[:-1] + d_[1:])
+    is_start = jnp.concatenate([sig, jnp.zeros((1,), bool)], -1)
     lam = _block_eigvals_reim(t)
     d = jnp.diagonal(t)
     sup = jnp.concatenate([jnp.diagonal(t, offset=1), pad1], -1)
