@@ -19,7 +19,7 @@ from .svd_jac import (svd_jac_1sided, svd_jac_classic, svd_jac_2sided,
 from .svd import svd_decomp, svd_rank, svd_solve, svd_lstsq, rank, lstsq
 from .solve import solve
 from .det import det, slogdet, det_tri, slogdet_tri
-from .eigh import eigh, eigh_jacobi, eigh_via_svd
+from .eigh import eigh, eigh_jacobi, eigh_via_svd, eigh_tridiag_dc
 from .hessenberg import hessenberg_decomp
 from .schur import schur_decomp, schur_eigenvals, schur_eigen
 from .eigen import eigen, eigenvals, eigen_balance_pre
@@ -34,3 +34,4 @@ from ..rand.rng import rand_ortho
 from .svd_dc import svd_dc
 from .tridiag_dc import tridiag_eigh_dc
 from .svd_block_jac import svd_jac_blocked
+from .svd_gram import svd_gram

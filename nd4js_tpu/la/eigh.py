@@ -26,7 +26,7 @@ from ..core.batch import batched
 from ..core.mm import mt
 from ..config import default_float_for
 
-__all__ = ["eigh", "eigh_jacobi"]
+__all__ = ["eigh", "eigh_jacobi", "eigh_tridiag_dc"]
 
 
 def _shuffle_cols(xt, xb):
@@ -151,10 +151,42 @@ def eigh_via_svd(a):
     return w, vec
 
 
+@batched((2,))
+def eigh_tridiag_dc(a):
+    """Symmetric eigendecomposition via Householder tridiagonalization
+    + divide-&-conquer (tridiag_dc.py) — the large-single-matrix
+    throughput path for BASELINE config 4.
+
+    A symmetric input's Hessenberg form IS tridiagonal, so the existing
+    reduction (hessenberg.py) provides Q·T·Qᵀ; the D&C engine solves T
+    with GEMM-dominated merges, and one back-transform GEMM restores
+    the eigenvectors. Unlike eigh_via_svd there is no spectrum shift:
+    small eigenvalues keep O(eps·‖A‖) absolute accuracy with none of
+    the ‖A‖_F-shift inflation."""
+    from .hessenberg import _hessenberg_core
+    from .tridiag_dc import tridiag_eigh_dc
+    a = jnp.asarray(a)
+    a = a.astype(default_float_for(a.dtype))
+    a = (a + mt(a)) * 0.5
+    n = a.shape[-1]
+    if n == 1:
+        return a[..., 0], jnp.ones_like(a)
+    h, q = _hessenberg_core(a)
+    d = jnp.diagonal(h)
+    # rounding can desymmetrize H slightly; use the subdiagonal the
+    # reflectors actually produced
+    e = jnp.diagonal(h, offset=1)
+    w, v = tridiag_eigh_dc(d, e)
+    return w, jnp.matmul(q, v, precision="highest")
+
+
 def eigh(a, max_sweeps: int = 30, method: str = "jacobi"):
     """Symmetric eigendecomposition, A = V·diag(w)·Vᵀ, w ascending
-    (NumPy-style name). method: 'jacobi' (default) or 'via_svd'
-    (throughput path)."""
+    (NumPy-style name). method: 'jacobi' (default, highest relative
+    accuracy), 'dc' (tridiagonal divide-&-conquer — the throughput
+    path for large single matrices), or 'via_svd'."""
     if method == "via_svd":
         return eigh_via_svd(a)
+    if method == "dc":
+        return eigh_tridiag_dc(a)
     return eigh_jacobi(a, max_sweeps=max_sweeps)

@@ -268,23 +268,62 @@ def _apply_q_batched(vts, Bmat, transpose=False):
     return Bmat
 
 
+def _qr_house_flat(a3, economic: bool):
+    """Householder QR of a flat (B, M, N) batch -> (Q3, R3)."""
+    Bn, M, N = a3.shape
+    K = min(M, N)
+    r, vts = _qr_factor_batched(a3)
+    ncols = K if economic else M
+    eye = jnp.broadcast_to(jnp.eye(M, ncols, dtype=a3.dtype),
+                           (Bn, M, ncols))
+    q = _apply_q_batched(vts, eye)
+    r = jnp.triu(r[:, :K] if economic else r)
+    return q, r
+
+
 def _qr_batched(a, economic: bool):
     """Natively-batched public QR path (leading dims flattened to one
     batch axis; the panel runs in VMEM via Pallas)."""
     import math as _math
     lead = a.shape[:-2]
     M, N = a.shape[-2:]
-    K = min(M, N)
     a3 = a.reshape((max(1, _math.prod(lead)), M, N))
-    r, vts = _qr_factor_batched(a3)
-    ncols = K if economic else M
-    eye = jnp.broadcast_to(jnp.eye(M, ncols, dtype=a.dtype),
-                           (a3.shape[0], M, ncols))
-    q = _apply_q_batched(vts, eye)
-    r = jnp.triu(r[:, :K] if economic else r)
-    q = q.reshape(lead + (M, ncols))
+    q, r = _qr_house_flat(a3, economic)
+    q = q.reshape(lead + q.shape[-2:])
     r = r.reshape(lead + (r.shape[-2], N))
     return q, r
+
+
+def _qr_auto_flat(a3, economic: bool):
+    """Condition-adaptive QR of a flat (B, M, N) batch.
+
+    Runs the all-GEMM CholeskyQR2 path, *measures* its orthogonality
+    defect ‖QᵀQ − I‖_max (one GEMM — no condition-number estimate
+    needed), and lax.conds into the robust Householder path only when
+    the defect exceeds the library contract (eps·4·max(M,N), the
+    reference's orthogonality budget from _generic_test_svd_decomp.js:
+    93-103). Well-conditioned batches pay only the defect GEMM;
+    κ ≳ 1/√eps inputs transparently get Householder accuracy."""
+    Bn, M, N = a3.shape
+    qf, rf = jax.vmap(lambda x: _qr_cholqr2_core(x, economic=economic))(a3)
+    ncols = qf.shape[-1]
+    eye = jnp.eye(ncols, dtype=a3.dtype)
+    defect = jnp.max(jnp.abs(mm(mt(qf), qf) - eye))
+    tol = 4 * jnp.finfo(a3.dtype).eps * max(M, N)
+    return jax.lax.cond(defect <= tol,
+                        lambda _: (qf, rf),
+                        lambda _: _qr_house_flat(a3, economic),
+                        None)
+
+
+def _qr_auto(a, economic: bool):
+    import math as _math
+    lead = a.shape[:-2]
+    M, N = a.shape[-2:]
+    a3 = a.reshape((max(1, _math.prod(lead)), M, N))
+    q, r = _qr_auto_flat(a3, economic)
+    return (q.reshape(lead + q.shape[-2:]),
+            r.reshape(lead + (r.shape[-2], N)))
 
 
 def _qr_public(a, economic: bool, method: str):
@@ -295,6 +334,8 @@ def _qr_public(a, economic: bool, method: str):
     if method == "cholqr2":
         return batched((2,))(
             lambda x: _qr_cholqr2_core(x, economic=economic))(a)
+    if method == "auto":
+        return _qr_auto(a, economic=economic)
     if method != "householder":
         raise ValueError(f"unknown method {method!r}")
     return _qr_batched(a, economic=economic)
@@ -305,8 +346,10 @@ def qr_decomp(a, method: str = "householder"):
     (ref: qr.js:80-145). Batched over leading dims.
 
     method: 'householder' (robust default; compact-WY with the panel
-    factorisation in a Pallas VMEM kernel) or 'cholqr2' (all-GEMM
-    BCGS2+CholeskyQR2 — needs κ(A) ≲ 1/√eps)."""
+    factorisation in a Pallas VMEM kernel), 'cholqr2' (all-GEMM
+    BCGS2+CholeskyQR2 — needs κ(A) ≲ 1/√eps), or 'auto' (cholqr2 with
+    a measured-orthogonality-defect fallback to householder — the fast
+    path at householder robustness; the benchmark path)."""
     return _qr_public(a, economic=True, method=method)
 
 

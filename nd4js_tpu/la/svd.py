@@ -29,10 +29,14 @@ def svd_decomp(a, method: str = "jacobi", **kw):
     """Default SVD: A = U·diag(sv)·V (ref: svd.js:25). Batched.
 
     method: 'jacobi' (element-level one-sided — highest accuracy,
-    default), 'blocked' (MXU block Jacobi — the batched-throughput
-    path), or 'dc' (divide & conquer)."""
+    default), 'gram' (simultaneous-rotation Jacobi, all-GEMM — the
+    batched-throughput path), 'blocked' (MXU block Jacobi), or 'dc'
+    (divide & conquer)."""
     if method == "jacobi":
         return svd_jac_1sided(a, **kw)
+    if method == "gram":
+        from .svd_gram import svd_gram
+        return svd_gram(a, **kw)
     if method == "blocked":
         from .svd_block_jac import svd_jac_blocked
         return svd_jac_blocked(a, **kw)

@@ -43,7 +43,6 @@ import jax.numpy as jnp
 
 from ..core.mm import mm, mt
 from ..config import default_float_for
-from .qr import qr_decomp
 from .svd_jac import _complete_u, _brent_luk_shuffle, _rotation
 
 __all__ = ["svd_gram"]
@@ -56,26 +55,12 @@ def _robust_qr(a3):
     CholeskyQR2 (all-GEMM, fast) cannot orthonormalize directions with
     σ² below its stabilizing shift (≈ 10·eps·‖A‖²_F/N) — for
     rank-deficient or κ ≳ 1/√eps inputs its Q has dead columns. Rather
-    than estimating κ, we *measure* the defect ‖QᵀQ − I‖_max (one GEMM)
-    and lax.cond into the Householder path only when it exceeds the
-    contract budget. Typical well-conditioned batches never pay the
-    Householder cost."""
-    from .qr import _qr_factor_batched, _apply_q_batched
-    B, M, N = a3.shape
-    K = min(M, N)
-    q, r = qr_decomp(a3, method="cholqr2")
-    eye = jnp.eye(K, dtype=a3.dtype)
-    defect = jnp.max(jnp.abs(mm(mt(q), q) - eye))
-    tol = 2 * jnp.finfo(a3.dtype).eps * max(M, N)
-
-    def householder(_):
-        rr, vts = _qr_factor_batched(a3)
-        eyeM = jnp.broadcast_to(jnp.eye(M, K, dtype=a3.dtype), (B, M, K))
-        qh = _apply_q_batched(vts, eyeM)
-        return qh, jnp.triu(rr[:, :K])
-
-    return jax.lax.cond(defect <= tol, lambda _: (q, r), householder,
-                        None)
+    than estimating κ, the shared auto path *measures* the defect
+    ‖QᵀQ − I‖_max (one GEMM) and lax.conds into the Householder path
+    only when it exceeds the contract budget (la/qr.py:_qr_auto_flat).
+    Typical well-conditioned batches never pay the Householder cost."""
+    from .qr import _qr_auto_flat
+    return _qr_auto_flat(a3, True)
 
 
 def _pair_tangents(g, eps):
