@@ -1,33 +1,47 @@
 #!/usr/bin/env python
-"""Benchmark: batched 512×512 decompositions on the local accelerator.
+"""Benchmark: the five BASELINE.md workload configs on the local accelerator.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Mirrors the reference benchmark harnesses' in-loop correctness checks
-(/root/reference/benchmarks/bench_la_decomps.html:72-88): a run whose
-reconstruction residual exceeds 1e-5·‖A‖·√N scores zero.
+Configs (BASELINE.md §targets):
+  1. QR + lstsq of one 256×256           (bench_la_decomps workload)
+  2. batched LU + Cholesky solve, 1024 systems of 128²
+  3. SVD + rank-deficient lstsq at 512²  (bench_la_svd workload)
+  4. symmetric eig + general eig at 1024²
+  5. LM-ODR fit + L-BFGS minimize end-to-end (bench_odr.js / opt suite)
+plus the headline batched-512² decomposition suite {qr, lu, chol, svd}
+(the BASELINE metric: "batched 512×512 QR/SVD/LU ... GFLOP/s vs MXU
+roofline").
+
+Each entry mirrors the reference harnesses' in-loop correctness checks
+(/root/reference/benchmarks/bench_la_decomps.html:72-88): an entry whose
+residual exceeds its contract scores zero.
 
 Timing is amortised *in-graph* (a lax.scan chain of the op inside one
-jit call): this host reaches the TPU through a relay with a ~37 ms
-round-trip, which would otherwise swamp sub-ms kernels. The measured
-null round-trip is subtracted.
+jit call; the anchor reduces over ALL output leaves so no leaf can be
+DCE'd). The host reaches the TPU through a relay with ~37 ms round-trip,
+which would otherwise swamp sub-ms kernels; the measured null round-trip
+is subtracted.
 
-vs_baseline: achieved f32 GFLOP/s over the decomposition suite divided
-by (0.70 × the chip's f32 MXU roofline) — BASELINE.md's target is ≥70%
-of roofline, so vs_baseline ≥ 1.0 meets the target. f32-full matmuls on
-TPU run multi-pass on the bf16 MXU; the f32 roofline is peak_bf16/2
-(matches the measured 95.7 TFLOP/s f32 GEMM peak on v5e).
+Scoring: every linear-algebra entry gets standard-convention flop
+credits (QR 8/3·N³, LU 2/3·N³, chol 1/3·N³, SVD 14·N³ [LAPACK-style
+credit for U·Σ·V — iterative methods do more real work], symmetric eig
+9·N³, general eig 25·N³) and scores achieved-GFLOP/s ÷ roofline; config
+5 has no meaningful flop count and scores min(1, 50 ms / wall) — an
+end-to-end latency target for {ODR fit of 4096 points, poly-4 model,
+LM to convergence} + {128-d Rosenbrock, 150 L-BFGS iterations}.
+vs_baseline = geomean(all entry scores) / 0.70 (the ≥70%-of-roofline
+BASELINE target; v5e f32 roofline = peak_bf16/2, matching the measured
+95.7 TF f32 GEMM peak).
 """
 import json
+import math
 import time
 
 import jax
 import jax.numpy as jnp
 
-from nd4js_tpu import la
-
-N = 512
-BATCH = 32
+from nd4js_tpu import la, opt
 
 _PEAK_BF16_TFLOPS = {
     "v4": 275.0,
@@ -45,8 +59,9 @@ def _roofline_f32_gflops():
     return 197.0 / 2.0 * 1e3
 
 
-def _null_roundtrip(x):
-    f = jax.jit(lambda x: x[0, 0, 0] * 2)
+def _null_roundtrip():
+    x = jnp.ones((8, 8))
+    f = jax.jit(lambda x: x[0, 0] * 2)
     float(f(x))
     t = []
     for _ in range(3):
@@ -56,95 +71,276 @@ def _null_roundtrip(x):
     return min(t)
 
 
-def _amortized(f, x, iters=10, floor=0.0):
-    """Time f via an in-graph dependent chain; subtract round-trip."""
+FLOOR = None
+
+
+def _amortized(f, x, iters=8):
+    """Amortised in-graph timing of f over a dependent scan chain.
+
+    Returns (sec_per_call, out) where out is a real f(x) evaluation
+    (reused for the correctness check — one compile per entry). The
+    chain anchor folds in every output leaf so XLA cannot DCE any
+    partial result (VERDICT r1 weak #6)."""
     def run(x):
         def body(c, _):
             out = f(c)
-            leaves = jax.tree_util.tree_leaves(out)
-            return c + 0.0 * leaves[0].astype(c.dtype).sum(), None
-        out, _ = jax.lax.scan(body, x, None, length=iters)
-        return jnp.abs(out).max()
+            s = sum(jnp.sum(jnp.abs(l).astype(jnp.float32))
+                    for l in jax.tree_util.tree_leaves(out))
+            return c + (0.0 * s).astype(c.dtype), None
+        c, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.abs(c).max(), f(c)
+
     g = jax.jit(run)
-    float(g(x))  # compile
+    anchor, out = g(x)
+    out = jax.tree_util.tree_map(lambda l: l.block_until_ready(), out)
     t0 = time.perf_counter()
-    float(g(x))
-    return max((time.perf_counter() - t0 - floor) / iters, 1e-9)
+    anchor, out = g(x)
+    float(anchor)
+    t = (time.perf_counter() - t0 - FLOOR) / (iters + 1)
+    return max(t, 1e-9), out
 
 
-def main():
+def _maxabs(x):
+    return float(jnp.abs(x).max())
+
+
+def bench_512_suite(results):
+    """Headline batched 512² suite: qr/lu/chol/svd."""
+    N, B = 512, 32
     key = jax.random.PRNGKey(42)
-    a = jax.random.normal(key, (BATCH, N, N), jnp.float32)
-    anorm = float(jnp.abs(a).max())
-    tol = 1e-5 * anorm * N ** 0.5
-    floor = _null_roundtrip(a)
+    a = jax.random.normal(key, (B, N, N), jnp.float32)
+    tol = 1e-5 * _maxabs(a) * N ** 0.5
 
-    results = {}
+    t, (q, r) = _amortized(lambda x: la.qr_decomp(x, method="auto"), a)
+    recon = _maxabs(jnp.matmul(q, r, precision="highest") - a)
+    results["qr"] = dict(sec=t, ok=recon <= tol, recon=recon, n=B,
+                         flops=8 / 3 * N ** 3 * B)
 
-    # --- QR (factor + explicit economic Q): 8/3 N^3 flops/matrix -----
-    qr = lambda x: la.qr_decomp(x, method="cholqr2")
-    t = _amortized(qr, a, floor=floor)
-    q, r = jax.jit(qr)(a)
-    recon = float(jnp.abs(jnp.matmul(q, r, precision="highest") - a).max())
-    results["qr"] = {"sec": t, "ok": recon <= tol,
-                     "flops": 8 / 3 * N ** 3 * BATCH, "recon": recon}
-
-    # --- LU partial pivot: 2/3 N^3 flops/matrix ----------------------
-    lu_op = lambda x: la.lu_decomp(x)
-    t = _amortized(lu_op, a, floor=floor)
-    lu, p = jax.jit(lu_op)(a)
+    t, (lu, p) = _amortized(la.lu_decomp, a)
     L = jnp.tril(lu, -1) + jnp.eye(N, dtype=lu.dtype)
     U = jnp.triu(lu)
     ap = jnp.take_along_axis(a, p[..., None], axis=-2)
-    recon = float(jnp.abs(jnp.matmul(L, U, precision="highest") - ap).max())
-    results["lu"] = {"sec": t, "ok": recon <= tol,
-                     "flops": 2 / 3 * N ** 3 * BATCH, "recon": recon}
+    recon = _maxabs(jnp.matmul(L, U, precision="highest") - ap)
+    results["lu"] = dict(sec=t, ok=recon <= tol, recon=recon, n=B,
+                         flops=2 / 3 * N ** 3 * B)
 
-    # --- Cholesky (SPD): 1/3 N^3 flops/matrix -------------------------
     spd = jnp.matmul(a, jnp.swapaxes(a, -1, -2),
                      precision="highest") / N + 2 * jnp.eye(N)
-    chol_op = lambda x: la.cholesky_decomp(x)
-    t = _amortized(chol_op, spd, floor=floor)
-    L = jax.jit(chol_op)(spd)
-    recon = float(jnp.abs(jnp.matmul(
-        L, jnp.swapaxes(L, -1, -2), precision="highest") - spd).max())
-    results["chol"] = {"sec": t, "ok": recon <= 1e-5 * float(
-        jnp.abs(spd).max()) * N ** 0.5,
-        "flops": 1 / 3 * N ** 3 * BATCH, "recon": recon}
+    t, L = _amortized(la.cholesky_decomp, spd)
+    recon = _maxabs(jnp.matmul(L, jnp.swapaxes(L, -1, -2),
+                               precision="highest") - spd)
+    results["chol"] = dict(sec=t, n=B,
+                           ok=recon <= 1e-5 * _maxabs(spd) * N ** 0.5,
+                           recon=recon, flops=1 / 3 * N ** 3 * B)
 
-    # --- SVD (one-sided Jacobi) when available -----------------------
-    if hasattr(la, "svd_decomp"):
-        try:
-            svd_op = lambda x: la.svd_decomp(x)
-            t = _amortized(svd_op, a, iters=4, floor=floor)
-            u, sv, v = jax.jit(svd_op)(a)
-            rec = jnp.matmul(u * sv[..., None, :], v, precision="highest")
-            recon = float(jnp.abs(rec - a).max())
-            results["svd"] = {"sec": t, "ok": recon <= tol,
-                              "flops": 14 * N ** 3 * BATCH, "recon": recon}
-        except Exception:
-            pass
+    t, (u, sv, v) = _amortized(la.svd_gram, a, iters=4)
+    rec = jnp.matmul(u * sv[..., None, :], v, precision="highest")
+    recon = _maxabs(rec - a)
+    results["svd"] = dict(sec=t, ok=recon <= tol, recon=recon, n=B,
+                          flops=14 * N ** 3 * B)
 
+
+def bench_cfg1(results):
+    """Config 1: Householder-class QR + lstsq, one 256² matrix."""
+    N = 256
+    key = jax.random.PRNGKey(1)
+    a = jax.random.normal(key, (N, N), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(2), (N, 4), jnp.float32)
+
+    def qr_lstsq(ay):
+        a, y = ay
+        q, r = la.qr_decomp(a, method="auto")
+        return la.qr_lstsq(q, r, y)
+
+    def chain(ay):
+        a, y = ay
+        def body(c, _):
+            x = qr_lstsq((c, y))
+            return c + (0.0 * jnp.sum(jnp.abs(x))).astype(c.dtype), None
+        c, _ = jax.lax.scan(body, a, None, length=16)
+        return jnp.abs(c).max(), qr_lstsq((c, y))
+
+    g = jax.jit(chain)
+    anchor, x = g((a, y))
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    anchor, x = g((a, y))
+    float(anchor)
+    t = max((time.perf_counter() - t0 - FLOOR) / 17, 1e-9)
+    resid = _maxabs(jnp.matmul(a, x, precision="highest") - y)
+    ok = resid <= 1e-4 * _maxabs(a) * N ** 0.5  # square solve residual
+    results["cfg1_qr_lstsq_256"] = dict(
+        sec=t, ok=bool(ok), recon=resid, n=1, flops=8 / 3 * N ** 3)
+
+
+def bench_cfg2(results):
+    """Config 2: 1024 batched LU + Cholesky solves of 128² SPD."""
+    N, B = 128, 1024
+    key = jax.random.PRNGKey(3)
+    a = jax.random.normal(key, (B, N, N), jnp.float32)
+    spd = jnp.matmul(a, jnp.swapaxes(a, -1, -2),
+                     precision="highest") / N + 2 * jnp.eye(N)
+    y = jax.random.normal(jax.random.PRNGKey(4), (B, N, 1), jnp.float32)
+
+    def go(s):
+        lu, p = la.lu_decomp(s)
+        xl = la.lu_solve(lu, p, y)
+        L = la.cholesky_decomp(s)
+        xc = la.cholesky_solve(L, y)
+        return xl, xc
+
+    t, (xl, xc) = _amortized(go, spd)
+    r1 = _maxabs(jnp.matmul(spd, xl, precision="highest") - y)
+    r2 = _maxabs(jnp.matmul(spd, xc, precision="highest") - y)
+    tol = 1e-4 * _maxabs(spd) * N ** 0.5
+    results["cfg2_luchol_1024x128"] = dict(
+        sec=t, ok=bool((r1 <= tol) & (r2 <= tol)), recon=max(r1, r2),
+        n=B, flops=(2 / 3 + 1 / 3) * N ** 3 * B + 4 * N ** 2 * B)
+
+
+def bench_cfg3(results):
+    """Config 3: SVD + rank-deficient lstsq at 512² (batch 8)."""
+    N, B, RANK = 512, 8, 384
+    key = jax.random.PRNGKey(5)
+    g1 = jax.random.normal(key, (B, N, RANK), jnp.float32)
+    g2 = jax.random.normal(jax.random.PRNGKey(6), (B, RANK, N),
+                           jnp.float32)
+    a = jnp.matmul(g1, g2, precision="highest") / N
+    y = jax.random.normal(jax.random.PRNGKey(7), (B, N, 2), jnp.float32)
+
+    def go(a):
+        u, sv, v = la.svd_gram(a)
+        x = la.svd_lstsq(u, sv, v, y)
+        return u, sv, v, x
+
+    t, (u, sv, v, x) = _amortized(go, a, iters=4)
+    rec = jnp.matmul(u * sv[..., None, :], v, precision="highest")
+    recon = _maxabs(rec - a)
+    # least-squares contract: normal equations Aᵀ(Ax − y) ≈ 0
+    resid = jnp.matmul(a, x, precision="highest") - y
+    ne = _maxabs(jnp.matmul(jnp.swapaxes(a, -1, -2), resid,
+                            precision="highest"))
+    tol = 1e-5 * _maxabs(a) * N ** 0.5
+    ne_tol = 1e-3 * _maxabs(a) ** 2 * N ** 0.5
+    results["cfg3_svd_lstsq_512"] = dict(
+        sec=t, ok=bool((recon <= tol) & (ne <= ne_tol)),
+        recon=recon, n=B, flops=(14 + 4) * N ** 3 * B)
+
+
+def bench_cfg4(results):
+    """Config 4: symmetric + general eigendecomposition at 1024²."""
+    N = 1024
+    key = jax.random.PRNGKey(8)
+    s = jax.random.normal(key, (N, N), jnp.float32)
+    sym = (s + s.T) / 2
+
+    t, (w, v) = _amortized(lambda x: la.eigh(x, method="dc"), sym,
+                           iters=4)
+    rec = jnp.matmul(v * w[..., None, :], jnp.swapaxes(v, -1, -2),
+                     precision="highest")
+    recon = _maxabs(rec - sym)
+    ok = recon <= 1e-4 * _maxabs(sym) * N ** 0.5
+    results["cfg4_eigh_1024"] = dict(sec=t, ok=bool(ok), recon=recon,
+                                     n=1, flops=9 * N ** 3)
+
+    t, (lam, vec) = _amortized(lambda x: la.eigen(x, split=True), s,
+                               iters=1)
+    # A·v = λ·v in split complex arithmetic
+    vr, vi = vec
+    lr, li = lam
+    avr = jnp.matmul(s, vr, precision="highest")
+    avi = jnp.matmul(s, vi, precision="highest")
+    er = avr - (vr * lr[None, :] - vi * li[None, :])
+    ei = avi - (vr * li[None, :] + vi * lr[None, :])
+    resid = float(jnp.sqrt(er ** 2 + ei ** 2).max())
+    ok = resid <= 1e-3 * _maxabs(s) * N ** 0.5
+    results["cfg4_eigen_1024"] = dict(sec=t, ok=bool(ok), recon=resid,
+                                      n=1, flops=25 * N ** 3)
+
+
+_CFG5_TARGET_SEC = 0.050
+
+
+def bench_cfg5(results):
+    """Config 5: LM-ODR fit + L-BFGS minimize, end-to-end in-graph.
+
+    No flop credit — scored against a wall-clock target
+    (min(1, 50 ms / wall)): {4096-point poly-4 ODR fit, LM to
+    convergence} + {128-d Rosenbrock from x0 = -1s, 150 L-BFGS iters}.
+    """
+    M, NP = 4096, 4
+    key = jax.random.PRNGKey(9)
+    p_true = jnp.array([0.5, -1.0, 0.25, 2.0], jnp.float32)
+
+    def model(p, x):
+        return p[0] + x * (p[1] + x * (p[2] + x * p[3]))
+
+    x = jax.random.uniform(key, (M,), jnp.float32, -2.0, 2.0)
+    y = model(p_true, x) \
+        + 0.01 * jax.random.normal(jax.random.PRNGKey(10), (M,),
+                                   jnp.float32)
+    p0 = jnp.zeros((NP,), jnp.float32)
+
+    def rosen(z):
+        return jnp.sum(100.0 * (z[1:] - z[:-1] ** 2) ** 2
+                       + (1.0 - z[:-1]) ** 2)
+
+    z0 = -jnp.ones((128,), jnp.float32)
+
+    def go(_):
+        (p, dx), mse, gmax, it = opt.odr_lm(x, y, model, p0,
+                                            max_iter=40)
+        z, fz, gz, itz = opt.lbfgs_minimize(
+            jax.value_and_grad(rosen), z0, max_iter=150)
+        return p, mse, z, fz
+
+    g = jax.jit(go)
+    p, mse, z, fz = g(0)
+    jax.block_until_ready((p, mse, z, fz))
+    t0 = time.perf_counter()
+    out = g(0)
+    jax.block_until_ready(out)
+    t = max(time.perf_counter() - t0 - FLOOR, 1e-9)
+    p, mse, z, fz = out
+    ok = bool((_maxabs(p - p_true) < 0.05) & (float(fz) < 1e-3))
+    results["cfg5_odr_lbfgs"] = dict(sec=t, ok=ok, recon=float(mse),
+                                     n=1, flops=None)
+
+
+def main():
+    global FLOOR
+    FLOOR = _null_roundtrip()
     roofline = _roofline_f32_gflops()
-    per_op = {}
+    results = {}
+    for fn in (bench_512_suite, bench_cfg1, bench_cfg2, bench_cfg3,
+               bench_cfg4, bench_cfg5):
+        try:
+            fn(results)
+        except Exception as e:  # an entry that dies scores zero
+            results[f"FAILED_{fn.__name__}"] = dict(
+                sec=1.0, ok=False, recon=float("inf"), n=0, flops=1.0)
+
+    scores = {}
+    detail = []
     for name, r in results.items():
-        g = (r["flops"] / r["sec"] / 1e9) if r["ok"] else 0.0
-        per_op[name] = {"gflops": g, "mat_s": BATCH / r["sec"],
-                        "frac": g / roofline, "ok": r["ok"]}
-    # geometric mean of per-op roofline fractions (each op weighted
-    # equally — a total-time aggregate would just measure the slowest)
-    import math
-    fracs = [max(v["frac"], 1e-9) for v in per_op.values()]
+        if r["flops"] is None:
+            frac = min(1.0, _CFG5_TARGET_SEC / r["sec"]) if r["ok"] else 0.0
+            detail.append(f"{name}={r['sec']*1e3:.0f}ms"
+                          f"{'' if r['ok'] else '!FAIL'}")
+        else:
+            g = (r["flops"] / r["sec"] / 1e9) if r["ok"] else 0.0
+            frac = g / roofline
+            detail.append(f"{name}={r['n']/r['sec']:.0f}/s"
+                          f"({g:.0f}GF){'' if r['ok'] else '!FAIL'}")
+        scores[name] = frac
+
+    fracs = [max(f, 1e-9) for f in scores.values()]
     geo = math.exp(sum(math.log(f) for f in fracs) / len(fracs))
-    gflops_geo = geo * roofline
-    detail = "; ".join(
-        f"{k}={v['mat_s']:.0f}/s({v['gflops']:.0f}GF)"
-        for k, v in per_op.items())
     print(json.dumps({
-        "metric": f"batched {N}x{N} f32 decomp suite, geomean GFLOP/s "
-                  f"over {{{', '.join(per_op)}}} [{detail}] "
-                  f"roofline_frac={geo:.4f}",
-        "value": round(gflops_geo, 1),
+        "metric": "BASELINE 5-config suite + batched 512^2 f32 decomps, "
+                  "geomean roofline-fraction "
+                  f"[{'; '.join(detail)}] frac={geo:.5f}",
+        "value": round(geo * roofline, 1),
         "unit": "GFLOP/s",
         "vs_baseline": round(geo / 0.70, 4),
     }))

@@ -109,7 +109,10 @@ def test_cholqr2_documented_limit():
     sv = np.logspace(0, -15, n)
     a = (u * sv) @ v.T
     q, _ = la.qr_decomp(jnp.asarray(a), method="cholqr2")
-    assert _orth_defect(np.asarray(q)) > 4 * n * eps(np.float64)
+    d = _orth_defect(np.asarray(q))
+    # NaN also violates the contract (and `auto`'s defect <= tol test
+    # is False for NaN, so the fallback fires either way)
+    assert not (d <= 4 * n * eps(np.float64))
 
 
 # ------------------------------------------------- Kahan matrix
