@@ -26,27 +26,24 @@ from .tri import _tril_inv_core, tril_solve, tril_t_solve
 
 __all__ = ["cholesky_decomp", "cholesky_solve"]
 
-_BASE = 16
+_BASE = 32
 
 
 def _chol_base(a):
-    """Unrolled classical Cholesky for n <= _BASE (static python loop)."""
+    """Unrolled outer-product Cholesky for n <= _BASE (static python
+    loop, ~7 ops per step — kept graph-lean because every recursion
+    leaf instantiates one of these)."""
     n = a.shape[-1]
-    rows = []
+    ii = jnp.arange(n)
+    cols = []
     for j in range(n):
-        if j == 0:
-            d = jnp.sqrt(a[..., 0, 0])
-            rows.append(a[..., :, 0] / d[..., None])
-        else:
-            lj = jnp.stack([r[..., j] for r in rows], axis=-1)   # (..., j)
-            prev = jnp.stack(rows, axis=-1)                      # (..., n, j)
-            acc = jnp.einsum("...nj,...j->...n", prev, lj,
-                             precision="highest")
-            col = a[..., :, j] - acc
-            d = jnp.sqrt(col[..., j])
-            rows.append(col / d[..., None])
-    l = jnp.stack(rows, axis=-1)                                 # (..., n, n)
-    return jnp.tril(l)
+        d = jnp.sqrt(a[..., j, j])[..., None]                 # (..., 1)
+        # no zero-guard: a non-SPD pivot must yield NaN (module contract)
+        col = jnp.where(ii >= j, a[..., :, j], 0.0) / d       # (..., n)
+        cols.append(col)
+        # rank-1 trailing update; rows/cols <= j become stale-but-unread
+        a = a - col[..., :, None] * col[..., None, :]
+    return jnp.stack(cols, axis=-1)
 
 
 def _chol_core(a):

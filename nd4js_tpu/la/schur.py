@@ -89,14 +89,14 @@ _Z = lambda: jnp.zeros((), jnp.int32)
 def _apply_house3_rows(h, k, v, tau, zero3=False):
     """rows k..k+2 of h ← (I − tau·v·vᵀ)·rows. v: (3,)."""
     rows = jax.lax.dynamic_slice(h, (_i32(k), _Z()), (3, h.shape[1]))
-    w = tau * (v @ rows)
+    w = tau * jnp.matmul(v, rows, precision="highest")
     rows = rows - v[:, None] * w[None, :]
     return jax.lax.dynamic_update_slice(h, rows, (_i32(k), _Z()))
 
 
 def _apply_house3_cols(h, k, v, tau):
     cols = jax.lax.dynamic_slice(h, (_Z(), _i32(k)), (h.shape[0], 3))
-    w = tau * (cols @ v)
+    w = tau * jnp.matmul(cols, v, precision="highest")
     cols = cols - w[:, None] * v[None, :]
     return jax.lax.dynamic_update_slice(h, cols, (_Z(), _i32(k)))
 
@@ -326,7 +326,19 @@ def _aed(h, q, locked, lo, hi, AW: int, NS: int, eps, schur_small):
     w0 = hi - aw
     sw = jax.lax.dynamic_slice(h, (w0, w0), (aw, aw))
     s_spike = _get(h, w0, w0 - 1)
-    tw, qw = schur_small(sw)
+    # raw window Schur: the nested core's final cleanup would HIDE an
+    # unconverged window (zeroed tril(·,−2)) — committing that window's
+    # similarity would re-inject the junk into H in a region the lock
+    # below then freezes, silently corrupting the decomposition (seen:
+    # f32 1024² seeds with resid ~0.25). Measure the junk, clean tw for
+    # the spike/shift logic, and gate the commit on true convergence.
+    tw_raw, qw, _, _lk = schur_small(sw, _debug_raw=True)
+    rW = jnp.arange(aw)[:, None]
+    cW = jnp.arange(aw)[None, :]
+    tw = jnp.where(rW <= cW + 1, tw_raw, 0.0)
+    wjunk = jnp.max(jnp.abs(jnp.where(rW > cW + 1, tw_raw, 0.0)))
+    wconv = wjunk <= 16 * eps * jnp.maximum(
+        jnp.max(jnp.abs(tw)), jnp.finfo(dtype).tiny)
     sp = s_spike * qw[0, :]
     idxa = jnp.arange(aw)
     dvec = jnp.abs(jnp.diagonal(tw))
@@ -350,6 +362,10 @@ def _aed(h, q, locked, lo, hi, AW: int, NS: int, eps, schur_small):
     okblk = ok & (~isstart | jnp.roll(ok, -1)) & (~is2nd | jnp.roll(ok, 1))
     lastbad = jnp.max(jnp.where(~okblk, idxa, -1))
     d = (aw - 1 - lastbad).astype(jnp.int32)
+    # an unconverged window must neither deflate nor be committed; the
+    # outer loop stalls, the stuck counter fires exceptional shifts,
+    # and the classic chase makes progress instead
+    d = jnp.where(wconv, d, 0)
 
     def commit(args):
         h, q, locked = args
@@ -362,13 +378,14 @@ def _aed(h, q, locked, lo, hi, AW: int, NS: int, eps, schur_small):
             # column c of [spike | T_w] may keep rows ≤ c (its H column
             # is w0−1+c): compress rows [c, aw−d) into row c
             v, tau = _house_seg(mloc[:, c], c, aw - d, aw)
-            wr = tau * (v @ mloc)
+            wr = tau * jnp.matmul(v, mloc, precision="highest")
             mloc = mloc - v[:, None] * wr[None, :]
             mw = mloc[:, 1:]
-            wc = tau * (mw @ v)
+            wc = tau * jnp.matmul(mw, v, precision="highest")
             mw = mw - wc[:, None] * v[None, :]
             mloc = jnp.concatenate([mloc[:, :1], mw], axis=1)
-            z = z - tau * jnp.outer(z @ v, v)
+            z = z - tau * jnp.outer(
+                jnp.matmul(z, v, precision="highest"), v)
             return mloc, z
 
         mloc, z = jax.lax.fori_loop(0, aw - 1, red, (mloc, z0))
@@ -405,7 +422,8 @@ def _aed(h, q, locked, lo, hi, AW: int, NS: int, eps, schur_small):
     return d, h, q, locked, trs, dets
 
 
-def _schur_core(a, max_iter_factor: int = 40):
+def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
+                _debug_hist=None):
     n = a.shape[-1]
     dtype = a.dtype
     eps = jnp.finfo(dtype).eps
@@ -431,7 +449,8 @@ def _schur_core(a, max_iter_factor: int = 40):
         cs = jnp.where(real, cs, 1.0)
         sn = jnp.where(real, sn, 0.0)
         g = jnp.stack([jnp.stack([cs, -sn]), jnp.stack([sn, cs])])
-        t = mt(g) @ a @ g
+        t = jnp.matmul(jnp.matmul(mt(g), a, precision="highest"), g,
+                       precision="highest")
         t = jnp.where(real, t.at[1, 0].set(0.0), t)
         return t, g
     h, q = _hessenberg_core(a)
@@ -594,6 +613,20 @@ def _schur_core(a, max_iter_factor: int = 40):
     def body(carry):
         h, q, locked, it, stuck, hi_prev = carry
         h = _zero_small_subdiags(h, eps)
+        # a subdiagonal ADJACENT to a locked 2×2 pair was exactly zero
+        # when the lock was placed; window-GEMM rounding can re-seed it
+        # with ~eps·‖A‖ noise, and a window boundary through that noise
+        # SPLITS the locked block — the chase edge then clobbers the
+        # converged pair (seen: f32 seeds with resid ~0.25 from exactly
+        # this cascade). Re-zero such positions every sweep.
+        fF = jnp.zeros((1,), bool)
+        nbr_locked = jnp.concatenate([locked[1:], fF]) \
+            | jnp.concatenate([fF, locked[:-1]])
+        kill = nbr_locked & ~locked
+        rpad = jnp.arange(npad)[:, None]
+        cpad = jnp.arange(npad)[None, :]
+        killm = (rpad == cpad + 1) & jnp.concatenate([kill, fF])[None, :]
+        h = jnp.where(killm, 0.0, h)
         lo, hi = window(h, locked)
 
         def work(args):
@@ -622,12 +655,34 @@ def _schur_core(a, max_iter_factor: int = 40):
         return h, q, locked, it + 1, stuck, hi
 
     locked0 = jnp.zeros((npad - 1,), bool)
+    if _debug_hist is not None:
+        K, r0, r1 = _debug_hist
+
+        def sbody(carry, _):
+            h2 = carry[0]
+            lk2 = carry[2]
+            lo2, hi2 = window(h2, lk2)
+            carry = body(carry)
+            h3, lk3 = carry[0], carry[2]
+            rec = (lo2, hi2,
+                   jax.lax.dynamic_slice(h3, (r0, r0),
+                                         (r1 - r0, r1 - r0)),
+                   jax.lax.dynamic_slice(lk3, (r0,), (r1 - r0,)))
+            return carry, rec
+
+        carry0 = (h, q, locked0, jnp.zeros((), jnp.int32),
+                  jnp.zeros((), jnp.int32), jnp.asarray(-1, jnp.int32))
+        _, hist = jax.lax.scan(sbody, carry0, None, length=K)
+        return hist
     h, q, locked, it, _, _ = jax.lax.while_loop(
         cond_fn, body,
         (h, q, locked0, jnp.zeros((), jnp.int32),
          jnp.zeros((), jnp.int32), jnp.asarray(-1, jnp.int32)))
     if use_win:
         h, q = h[P0:P0 + n, P0:P0 + n], q[P0:P0 + n, P0:P0 + n]
+    if _debug_raw:
+        lk = locked[P0:P0 + n - 1] if use_win else locked
+        return h, q, it, lk
     # clean below the subdiagonal (bulge-chase roundoff noise)
     r = jnp.arange(n)[:, None]
     c = jnp.arange(n)[None, :]

@@ -99,9 +99,9 @@ def compact_wk(mem: LBFGSState) -> CompactWK:
 
 def bv(wk: CompactWK, v):
     """B·v = θ·v − W·K⁻¹·Wᵀ·v (ref: _lbfgsb_solver.js compute_bv)."""
-    wtv = wk.w.T @ v
+    wtv = jnp.matmul(wk.w.T, v, precision="highest")
     u = _small_solve(wk.k, wtv[:, None])[:, 0]
-    return wk.theta * v - wk.w @ u
+    return wk.theta * v - jnp.matmul(wk.w, u, precision="highest")
 
 
 def cauchy_point(wk: CompactWK, x, g, lo, hi):
@@ -185,7 +185,7 @@ def cauchy_point(wk: CompactWK, x, g, lo, hi):
     tmove = jnp.minimum(t_cp, t_break)
     move = jnp.where(d == 0, 0.0, tmove * d)           # avoid inf·0
     x_cp = jnp.clip(x + move, lo, hi)
-    c = wk.w.T @ (x_cp - x)
+    c = jnp.matmul(wk.w.T, x_cp - x, precision="highest")
     free = t_cp < t_break                              # strictly interior
     return x_cp, c, free
 
@@ -200,16 +200,16 @@ def subspace_step(wk: CompactWK, x, g, x_cp, c, free, lo, hi):
     # reduced gradient of the model at x_cp
     z = x_cp - x
     mc = _small_solve(wk.k, c[:, None])[:, 0]
-    r = g + wk.theta * z - wk.w @ mc
+    r = g + wk.theta * z - jnp.matmul(wk.w, mc, precision="highest")
     r = jnp.where(free, r, 0.0)
 
     wf = jnp.where(free[:, None], wk.w, 0.0)           # rows masked
-    wtr = wf.T @ r
+    wtr = jnp.matmul(wf.T, r, precision="highest")
     mwtr = _small_solve(wk.k, wtr[:, None])[:, 0]
-    wtw = wf.T @ wf
+    wtw = jnp.matmul(wf.T, wf, precision="highest")
     nmat = jnp.eye(m2, dtype=dt) - _small_solve(wk.k, wtw) / wk.theta
     v = _small_solve(nmat, mwtr[:, None])[:, 0]
-    d = -(r + (wf @ v) / wk.theta) / wk.theta
+    d = -(r + jnp.matmul(wf, v, precision="highest") / wk.theta) / wk.theta
     d = jnp.where(free, d, 0.0)
     # longest feasible step along d from x_cp
     safe_d = jnp.where(d == 0, 1.0, d)

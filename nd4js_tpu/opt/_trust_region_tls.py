@@ -91,7 +91,8 @@ def _solve_structured(st: TlsState, lam, rhs_p, rhs_dx):
                             precision="highest")
     ls = _chol_core(s + jnp.finfo(s.dtype).tiny * jnp.eye(NP))
     ls_inv = _tril_inv_core(ls)
-    dp = mt(ls_inv) @ (ls_inv @ rp)
+    dp = jnp.matmul(mt(ls_inv), jnp.matmul(ls_inv, rp,
+                precision="highest"), precision="highest")
     ddx = jnp.einsum("mij,mj->mi", cinv,
                      rhs_dx - jnp.einsum("mpx,p->mx", q, dp,
                                          precision="highest"),
