@@ -36,9 +36,20 @@ BASELINE target; v5e f32 roofline = peak_bf16/2, matching the measured
 """
 import json
 import math
+import os
 import time
 
 import jax
+
+# persistent compilation cache: the decomposition graphs trade XLA
+# compile time for runtime (unrolled recursion leaves fuse into fast
+# kernels but compile slowly); cache so repeat runs skip it entirely
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 
 from nd4js_tpu import la, opt
@@ -258,15 +269,16 @@ def bench_cfg4(results):
                                       n=1, flops=25 * N ** 3)
 
 
-_CFG5_TARGET_SEC = 0.050
+_CFG5_TARGET_SEC = 0.100
 
 
 def bench_cfg5(results):
     """Config 5: LM-ODR fit + L-BFGS minimize, end-to-end in-graph.
 
     No flop credit — scored against a wall-clock target
-    (min(1, 50 ms / wall)): {4096-point poly-4 ODR fit, LM to
-    convergence} + {128-d Rosenbrock from x0 = -1s, 150 L-BFGS iters}.
+    (min(1, 100 ms / wall)): {4096-point poly-4 ODR fit, 40 LM
+    iterations} + {128-d Rosenbrock from x0 = -1s, L-BFGS to
+    convergence (~700 iterations)}.
     """
     M, NP = 4096, 4
     key = jax.random.PRNGKey(9)
@@ -291,7 +303,7 @@ def bench_cfg5(results):
         (p, dx), mse, gmax, it = opt.odr_lm(x, y, model, p0,
                                             max_iter=40)
         z, fz, gz, itz = opt.lbfgs_minimize(
-            jax.value_and_grad(rosen), z0, max_iter=150)
+            jax.value_and_grad(rosen), z0, max_iter=800)
         return p, mse, z, fz
 
     g = jax.jit(go)
@@ -302,7 +314,7 @@ def bench_cfg5(results):
     jax.block_until_ready(out)
     t = max(time.perf_counter() - t0 - FLOOR, 1e-9)
     p, mse, z, fz = out
-    ok = bool((_maxabs(p - p_true) < 0.05) & (float(fz) < 1e-3))
+    ok = bool((_maxabs(p - p_true) < 0.05) & (float(fz) < 1e-4))
     results["cfg5_odr_lbfgs"] = dict(sec=t, ok=ok, recon=float(mse),
                                      n=1, flops=None)
 

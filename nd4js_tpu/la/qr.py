@@ -140,19 +140,23 @@ def _qr_core(a, economic: bool):
 
 
 def _cholqr2_panel(p, q_prev):
-    """Orthogonalise panel ``p`` against q_prev (BCGS2) and internally
-    (CholeskyQR2). Returns (q_new, r_top, r_diag)."""
-    from .cholesky import _chol_core
-    from .tri import _tril_inv_core as tinv
+    """Orthogonalise flat-batched panel ``p`` (B, M, b) against q_prev
+    (BCGS2) and internally (CholeskyQR2; the panel Cholesky emits its
+    inverse so the whitening is a GEMM). Returns (q_new, r_top,
+    r_diag)."""
+    from .cholesky import _chol_inv_core
     eps = jnp.finfo(p.dtype).eps
+    b = p.shape[-1]
+    eye = jnp.eye(b, dtype=p.dtype)
 
     def cholqr(p):
         g = mm(mt(p), p)
         # tiny diagonal shift: keeps chol alive on nearly rank-deficient
         # panels; reconstruction stays exact (Q·R == P by construction)
-        shift = 10 * eps * jnp.trace(g) / g.shape[0] + jnp.finfo(p.dtype).tiny
-        l = _chol_core(g + shift * jnp.eye(g.shape[0], dtype=p.dtype))
-        q = mm(p, mt(tinv(l)))
+        tr = jnp.trace(g, axis1=-2, axis2=-1)[..., None, None]
+        shift = 10 * eps * tr / b + jnp.finfo(p.dtype).tiny
+        l, linv = _chol_inv_core(g + shift * eye)
+        q = mm(p, mt(linv))
         return q, mt(l)
 
     if q_prev is not None:
@@ -170,41 +174,48 @@ def _cholqr2_panel(p, q_prev):
     return q2, r_top, r_diag
 
 
-def _qr_cholqr2_core(a, economic: bool):
-    """All-GEMM QR: blocked classical Gram-Schmidt with reorthogonal-
-    isation (BCGS2), CholeskyQR2 panels. ~2x the FLOPs of Householder
-    but zero sequential scalar work — every op is an MXU GEMM or the
-    log-depth Cholesky recursion. Orthogonality holds for
-    κ(A) ≲ 1/√eps(dtype); the Householder path remains the robust
-    default."""
-    M, N = a.shape
+def _qr_cholqr2_flat(a3, economic: bool):
+    """All-GEMM QR of a flat (B, M, N) batch: blocked classical
+    Gram-Schmidt with reorthogonalisation (BCGS2), CholeskyQR2 panels.
+    ~2x the FLOPs of Householder but zero sequential scalar work —
+    every op is an MXU GEMM or a VMEM-resident Pallas panel.
+    Orthogonality holds for κ(A) ≲ 1/√eps(dtype); the Householder path
+    remains the robust default."""
+    B, M, N = a3.shape
     K = min(M, N)
     q_panels = []
     r_cols = []
     q_prev = None
     for k in range(0, K, _PANEL):
         b = min(_PANEL, K - k)
-        qk, r_top, r_diag = _cholqr2_panel(a[:, k:k + b], q_prev)
+        qk, r_top, r_diag = _cholqr2_panel(a3[:, :, k:k + b], q_prev)
         block = [r_diag] if r_top is None else [r_top, r_diag]
         if K - (k + b) > 0:
-            block.append(jnp.zeros((K - k - b, b), a.dtype))
-        r_cols.append(jnp.concatenate(block, axis=0))
+            block.append(jnp.zeros((B, K - k - b, b), a3.dtype))
+        r_cols.append(jnp.concatenate(block, axis=1))
         q_panels.append(qk)
-        q_prev = jnp.concatenate(q_panels, axis=1)
-    r = jnp.concatenate(r_cols, axis=1)
+        q_prev = jnp.concatenate(q_panels, axis=2)
+    r = jnp.concatenate(r_cols, axis=2)
     if N > K:
-        r = jnp.concatenate([r, mm(mt(q_prev), a[:, K:])], axis=1)
+        r = jnp.concatenate([r, mm(mt(q_prev), a3[:, :, K:])], axis=2)
     q = q_prev
     if not economic:
         # extend Q to a full orthogonal basis: orthogonalise the residual
-        # of random columns (only needed for M > K)
+        # of identity columns (only needed for M > K)
         if M > K:
-            extra = jnp.eye(M, M, dtype=a.dtype)[:, K:]
+            extra = jnp.broadcast_to(
+                jnp.eye(M, dtype=a3.dtype)[:, K:], (B, M, M - K))
             qe, _, _ = _cholqr2_panel(extra, q)
-            q = jnp.concatenate([q, qe], axis=1)
+            q = jnp.concatenate([q, qe], axis=2)
         r = jnp.concatenate(
-            [r, jnp.zeros((M - K, N), a.dtype)], axis=0)
+            [r, jnp.zeros((B, M - K, N), a3.dtype)], axis=1)
     return q, jnp.triu(r)
+
+
+def _qr_cholqr2_core(a, economic: bool):
+    """2-D wrapper of the flat-batched cholqr2 core."""
+    q, r = _qr_cholqr2_flat(a[None], economic)
+    return q[0], r[0]
 
 
 def _form_t_batched(V, taus):
@@ -305,7 +316,7 @@ def _qr_auto_flat(a3, economic: bool):
     93-103). Well-conditioned batches pay only the defect GEMM;
     κ ≳ 1/√eps inputs transparently get Householder accuracy."""
     Bn, M, N = a3.shape
-    qf, rf = jax.vmap(lambda x: _qr_cholqr2_core(x, economic=economic))(a3)
+    qf, rf = _qr_cholqr2_flat(a3, economic)
     ncols = qf.shape[-1]
     eye = jnp.eye(ncols, dtype=a3.dtype)
     defect = jnp.max(jnp.abs(mm(mt(qf), qf) - eye))
@@ -332,8 +343,13 @@ def _qr_public(a, economic: bool, method: str):
     if a.ndim < 2:
         raise ValueError("qr_decomp expects ndim >= 2")
     if method == "cholqr2":
-        return batched((2,))(
-            lambda x: _qr_cholqr2_core(x, economic=economic))(a)
+        import math as _math
+        lead = a.shape[:-2]
+        M, N = a.shape[-2:]
+        a3 = a.reshape((max(1, _math.prod(lead)), M, N))
+        q, r = _qr_cholqr2_flat(a3, economic)
+        return (q.reshape(lead + q.shape[-2:]),
+                r.reshape(lead + (r.shape[-2], N)))
     if method == "auto":
         return _qr_auto(a, economic=economic)
     if method != "householder":

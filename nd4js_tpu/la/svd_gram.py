@@ -52,15 +52,14 @@ def _robust_qr(a3):
     """Economic QR of (B, M, N) whose Q is orthogonal to machine
     precision for *any* input conditioning.
 
-    CholeskyQR2 (all-GEMM, fast) cannot orthonormalize directions with
-    σ² below its stabilizing shift (≈ 10·eps·‖A‖²_F/N) — for
-    rank-deficient or κ ≳ 1/√eps inputs its Q has dead columns. Rather
-    than estimating κ, the shared auto path *measures* the defect
-    ‖QᵀQ − I‖_max (one GEMM) and lax.conds into the Householder path
-    only when it exceeds the contract budget (la/qr.py:_qr_auto_flat).
-    Typical well-conditioned batches never pay the Householder cost."""
-    from .qr import _qr_auto_flat
-    return _qr_auto_flat(a3, True)
+    Householder (compact-WY, Pallas panel): CholeskyQR2 cannot
+    orthonormalize directions with σ² below its stabilizing shift, and
+    the measured-defect 'auto' hybrid (la/qr.py:_qr_auto_flat) carries
+    BOTH code paths — three instances of it dominated svd_gram's XLA
+    compile (~450 s). The preconditioner is ~7% of svd_gram's runtime,
+    so the always-robust single-graph path is the right trade here."""
+    from .qr import _qr_house_flat
+    return _qr_house_flat(a3, True)
 
 
 def _pair_tangents(g, eps):
@@ -93,8 +92,7 @@ def _gram_iterations(w, p, max_iters: int, tol):
     """Run the simultaneous-rotation iteration on (B, K, K) ``w``,
     accumulating the right orthogonal factor into ``p``. Returns
     (w, p, off) with off the per-batch relative off-diagonal max."""
-    from .cholesky import _chol_core
-    from .tri import _tril_inv_core
+    from .cholesky import _chol_inv_core
     B, K, _ = w.shape
     eps = jnp.finfo(w.dtype).eps
     eye = jnp.eye(K, dtype=w.dtype)
@@ -110,8 +108,8 @@ def _gram_iterations(w, p, max_iters: int, tol):
         s = t
         # Φ₀ᵀΦ₀ = I − S·S for skew S; SPD with λ ∈ [1, 1+σmax(S)²]
         c = eye - mm(s, s)
-        l = _chol_core(c)
-        linv_t = mt(_tril_inv_core(l))
+        _, linv = _chol_inv_core(c)
+        linv_t = mt(linv)
         phi = linv_t + mm(s, linv_t)          # (I + S)·R⁻¹
         stacked = jnp.concatenate([w, p], axis=-2)
         stacked = mm(stacked, phi)

@@ -61,8 +61,30 @@ def _tril_inv_core(L):
     does all the work and the XLA graph stays tiny. All products carry
     no cancellation between factors (each factor's entries are exact
     partial Neumann sums), so accuracy matches explicit substitution
-    up to the usual κ(L)-proportional terms."""
+    up to the usual κ(L)-proportional terms.
+
+    Above 128 the flat formula's full-size GEMM chain wastes FLOPs
+    (measured 4.7 ms at 32×512² vs ~0.5 ms blocked): block columns of
+    128 invert their diagonal with the flat formula and combine by
+    block forward substitution — two GEMMs per block."""
     n = L.shape[-1]
+    if n > 128:
+        b = 128
+        invs = []
+        rows = []
+        k = 0
+        eyeN = jnp.eye(n, dtype=L.dtype)
+        lead = L.shape[:-2]
+        while k < n:
+            e = min(k + b, n)
+            dinv = _tril_inv_core(L[..., k:e, k:e])
+            rhs = jnp.broadcast_to(eyeN[k:e], lead + (e - k, n))
+            if k > 0:
+                X = jnp.concatenate(rows, axis=-2)
+                rhs = rhs - mm(L[..., k:e, :k], X)
+            rows.append(mm(dinv, rhs))
+            k = e
+        return jnp.concatenate(rows, axis=-2)
     d = jnp.diagonal(L, axis1=-2, axis2=-1)              # (..., n)
     dinv = 1.0 / d
     if n == 1:
