@@ -19,9 +19,11 @@ _TOPLEVEL = """nd4js_tpu — TPU-native dense linear algebra & optimization
 Subpackages
 -----------
   la        dense linear algebra: matmul, LU, Cholesky, LDL, Bunch-
-            Kaufman, QR/RRQR/SRRQR/URV, bidiag, Hessenberg, Schur,
-            eigen/eigh, SVD (Jacobi + divide-&-conquer), solve/lstsq/
-            rank/det, triangular kernels
+            Kaufman, QR/RRQR/SRRQR/URV (qr_decomp method=
+            'householder'|'cholqr2'|'auto'), bidiag, Hessenberg, Schur,
+            eigen, eigh (method='jacobi'|'dc'|'via_svd'), SVD
+            (svd_decomp method='jacobi'|'gram'|'blocked'|'dc'),
+            solve/lstsq/rank/det, triangular kernels
   opt       optimization: L-BFGS(-B), trust-region Levenberg-Marquardt,
             dogleg, ODR/TLS, Nelder-Mead, Newton, line searches, 1-D
             root finders, fit_lin, test functions

@@ -7,5 +7,8 @@ the whole factorisation panel, turning the reference's cache-blocking
 arguments (e.g. /root/reference/src/la/qr.js:53-57) into VMEM blocking.
 """
 from .lu_panel import lu_panel
+from .house_panel import house_panel
+from .jacobi_sweep import jacobi_sweeps
+from .rrqr_kernel import rrqr_kernel
 
-__all__ = ["lu_panel"]
+__all__ = ["lu_panel", "house_panel", "jacobi_sweeps", "rrqr_kernel"]

@@ -213,6 +213,51 @@ def test_eigh_dc_clustered_spectrum():
     assert _orth_defect(v) <= 8 * n * eps(np.float64)
 
 
+# ------------------------------------------------- LU edge semantics
+
+def test_lu_zero_pivot_semantics():
+    """A structurally singular column must yield a zero U diagonal (and
+    lu_solve then produces inf/nan like the reference's division —
+    ref: lu.js:24-81; no exception inside the decomposition)."""
+    z = np.eye(6)
+    z[:, 2] = 0.0
+    lu, p = la.lu_decomp(jnp.asarray(z[None]))
+    d = np.asarray(lu)[0].diagonal()
+    assert d[2] == 0.0
+    x = np.asarray(la.lu_solve(lu, p, jnp.asarray(np.ones((1, 6, 1)))))
+    assert not np.all(np.isfinite(x))
+
+
+def test_lu_rectangular_shapes():
+    rng = TestRNG("deep-lu-rect")
+    for m, n in ((300, 260), (260, 300), (129, 129)):
+        a = rng.normal(2, m, n)
+        lu, p = la.lu_decomp(jnp.asarray(a))
+        lu, p = np.asarray(lu), np.asarray(p)
+        k = min(m, n)
+        L = np.tril(lu[..., :k], -1) + np.eye(m, k)
+        U = np.triu(lu)[..., :k, :]
+        ap = np.take_along_axis(a, p[..., None], axis=-2)
+        assert np.abs(L @ U - ap).max() <= 1e-10 * max(1, np.abs(a).max()) * m
+        for t in range(2):
+            assert sorted(p[t]) == list(range(m))
+
+
+def test_svd_gram_rank_deficient():
+    """svd_gram on an exactly rank-deficient batch: trailing singular
+    values ≈ 0, U/V still orthogonal (the _complete_u repair path)."""
+    rng = TestRNG("deep-gram-rankdef")
+    n, r = 96, 60
+    a = rng.normal(2, n, r) @ rng.normal(2, r, n)
+    u, sv, v = la.svd_gram(jnp.asarray(a))
+    u, sv, v = np.asarray(u), np.asarray(sv), np.asarray(v)
+    assert np.abs(sv[:, r:]).max() <= 1e-8 * sv.max()
+    assert _orth_defect(u) <= 8 * n * eps(np.float64)
+    assert _orth_defect(np.swapaxes(v, -1, -2)) <= 8 * n * eps(np.float64)
+    rec = (u * sv[..., None, :]) @ v
+    assert np.abs(rec - a).max() <= 1e-10 * max(1, np.abs(a).max()) * n
+
+
 # ------------------------------------------------- small-σ fidelity (TGK)
 
 def test_svd_dc_small_singular_values():
