@@ -1,19 +1,28 @@
-"""Pallas kernel: partially-pivoted LU panel factorisation.
+"""Pallas kernel: LU panel factorisation, transposed layout.
 
-The sequential column loop of LU (ref: /root/reference/src/la/lu.js:34-81)
-is HBM-bound when expressed as an XLA ``fori_loop`` — every step streams
-the whole batched panel through HBM (measured 180 ms for 1024×128² vs
-<10 ms here). This kernel keeps the (Bt, M, B) panel resident in VMEM
-for all B steps.
+VMEM-resident partially-pivoted panel factorisation
+(ref: /root/reference/src/la/lu.js:34-81); the panel lives in VMEM
+TRANSPOSED — (Bt, B, M): panel columns on sublanes, matrix rows on
+lanes — which fixes both measured bottlenecks of the earlier designs:
 
-Mosaic constraint: the lane (last) dimension cannot be dynamically
-indexed, so column extraction / pivot-row swaps / L-writeback are done
-with broadcasted-iota masked blends — full-tile VPU ops instead of
-scalar loads, which is exactly how the VPU wants it.
+  * the earlier natural-layout kernel paid ~5 full (Bt, M, B) masked passes per pivot step
+    (~8.6 µs/step — column extraction, two row extractions, fused
+    swap+update) because the lane dim cannot be dynamically indexed;
+    here the pivot COLUMN is one dynamic-start *sublane* read (legal in
+    Mosaic) and the pivot "row" is a lane vector that never moves,
+  * a stripe-delayed variant on the natural layout lost 4× to
+    non-128-aligned lane slices; sublane slices at 8-aligned stripe
+    boundaries are free.
 
-Returns (panel_factored, pivots): pivots[t, j] is the *local* row index
-swapped with row j at step j (LAPACK ipiv convention, 0-based). The
-caller replays the swaps on the rest of the matrix.
+Virtual pivoting: rows (lanes) never move; ``rank[t, i]`` records the
+step at which row i was chosen (B if never — an L row). Per step the
+in-stripe update touches (Bt, w≤8, M); each stripe's eight rank-1
+updates hit the remaining sublanes once, walked in step order so the
+triangular dependency resolves exactly.
+
+Returns (panel_factored (Nb, M, B) — rows in input order, transposed
+back — and rank (Nb, M)). Sorting rows by (rank, original index)
+yields the LAPACK-packed LU with ``panel_in[t, perm[t]] = L @ U``.
 """
 from __future__ import annotations
 
@@ -26,99 +35,107 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["lu_panel"]
 
+_STRIPE = 8
 
-def _lu_panel_kernel(a_ref, out_ref, perm_ref):
-    Bt, M, B = a_ref.shape
-    row2 = jax.lax.broadcasted_iota(jnp.int32, (Bt, M), 1)         # rows
-    row3 = jax.lax.broadcasted_iota(jnp.int32, (Bt, M, 1), 1)
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, B), 2)
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (Bt, B), 1)
 
-    out_ref[:] = a_ref[:]
-    perm_ref[:] = row2
+def _lu_panel_kernel(at_ref, out_ref, rank_ref):
+    Bt, B, M = at_ref.shape
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (Bt, M), 1)   # rows
 
-    def body(j, _):
-        a = out_ref[:]
-        # pass 1: column j and pivot rows j/p (lane/row-masked reduces)
-        col = jnp.sum(jnp.where(lane3 == j, a, 0.0), axis=2)        # (Bt, M)
-        cand = jnp.where(row2 >= j, jnp.abs(col), -1.0)
-        # manual argmax (Mosaic lacks an argmax lowering): max, then the
-        # smallest row index attaining it
-        cmax = jnp.max(cand, axis=1, keepdims=True)
-        p = jnp.min(jnp.where(cand == cmax, row2, M), axis=1) \
-            .astype(jnp.int32)                                      # (Bt,)
-        is_j2 = row2 == j
-        is_p2 = row2 == p[:, None]
-        perm = perm_ref[:]
-        pj = jnp.sum(jnp.where(is_j2, perm, 0), axis=1)             # (Bt,)
-        pp = jnp.sum(jnp.where(is_p2, perm, 0), axis=1)
-        perm_ref[:] = jnp.where(is_j2, pp[:, None],
-                                jnp.where(is_p2, pj[:, None], perm))
-        is_j = row3 == j
-        is_p = row3 == p[:, None, None]
-        # pass 2: both pivot rows in one traversal
-        rowj = jnp.sum(jnp.where(is_j, a, 0.0), axis=1)             # (Bt, B)
-        rowp = jnp.sum(jnp.where(is_p, a, 0.0), axis=1)             # (Bt, B)
-        # swapped column j (vector-level, no matrix traversal)
-        colj = jnp.sum(jnp.where(is_j2, col, 0.0), axis=1)          # (Bt,)
-        colp = jnp.sum(jnp.where(is_p2, col, 0.0), axis=1)
-        col = jnp.where(is_j2, colp[:, None],
-                        jnp.where(is_p2, colj[:, None], col))
-        pv = colp
-        safe = jnp.where(pv == 0.0, 1.0, pv)
-        l = jnp.where(row2 > j, col / safe[:, None], 0.0)           # (Bt, M)
-        urow = jnp.where(lane2 > j, rowp, 0.0)                      # (Bt, B)
-        # pass 3: swap + rank-1 update + L write-back fused into one
-        # composite select expression over the matrix
-        swapped = jnp.where(is_j, rowp[:, None, :],
-                            jnp.where(is_p, rowj[:, None, :], a))
-        updated = swapped - l[:, :, None] * urow[:, None, :]
-        out_ref[:] = jnp.where((lane3 == j) & (row3 > j),
-                               l[:, :, None], updated)
-        return 0
+    out_ref[:] = at_ref[:]
+    rank_ref[:] = jnp.full((Bt, M), B, jnp.int32)
 
-    jax.lax.fori_loop(0, min(B, M), body, 0, unroll=False)
+    for s0 in range(0, B, _STRIPE):
+        w = min(_STRIPE, B - s0)
+        sub_w = jax.lax.broadcasted_iota(jnp.int32, (Bt, w, 1), 1)
+
+        def step(jl, _):
+            j = s0 + jl
+            rank = rank_ref[:]
+            unused = rank >= B                                # (Bt, M)
+            col = out_ref[pl.ds(0, Bt), pl.ds(j, 1), pl.ds(0, M)]
+            col = col[:, 0, :]                                # (Bt, M)
+            cand = jnp.where(unused, jnp.abs(col), -1.0)
+            cmax = jnp.max(cand, axis=1, keepdims=True)
+            p = jnp.min(jnp.where(cand == cmax, lane2, M), axis=1) \
+                .astype(jnp.int32)                            # (Bt,)
+            is_p = lane2 == p[:, None]                        # (Bt, M)
+            piv = jnp.sum(jnp.where(is_p, col, 0.0), axis=1)  # (Bt,)
+            safe = jnp.where(piv == 0.0, 1.0, piv)
+            l = jnp.where(unused & ~is_p, col / safe[:, None], 0.0)
+            # finalize column j: L entries on unused rows, pivot/used
+            # rows keep their (already final) U values
+            newcol = jnp.where(unused & ~is_p, l, col)
+            out_ref[pl.ds(0, Bt), pl.ds(j, 1), pl.ds(0, M)] = \
+                newcol[:, None, :]
+            # in-stripe rank-1 update of columns (j, s0+w)
+            stripe = out_ref[:, s0:s0 + w, :]                 # (Bt, w, M)
+            # 3-D masks from 32-bit comparisons (Mosaic cannot
+            # dim-expand i1 vectors)
+            u_str = jnp.sum(
+                jnp.where(lane2[:, None, :] == p[:, None, None], stripe,
+                          0.0), axis=2)                       # (Bt, w)
+            live = (rank[:, None, :] >= B) \
+                & (lane2[:, None, :] != p[:, None, None])
+            upd = stripe - u_str[:, :, None] * l[:, None, :]
+            out_ref[:, s0:s0 + w, :] = \
+                jnp.where((sub_w > jl) & live, upd, stripe)
+            rank_ref[:] = jnp.where(is_p, j, rank)
+            return 0
+
+        jax.lax.fori_loop(0, w, step, 0, unroll=False)
+
+        if s0 + w < B:
+            rest_h = B - s0 - w
+            for a_loc in range(w):
+                # pivot row of step s0+a_loc: its rest-column values are
+                # read AFTER updates from earlier pivots landed — the
+                # triangular resolution
+                rank = rank_ref[:]
+                mask_p = rank[:, None, :] == s0 + a_loc       # (Bt,1,M)
+                rest = out_ref[:, s0 + w:, :]                 # (Bt,R,M)
+                u_a = jnp.sum(jnp.where(mask_p, rest, 0.0),
+                              axis=2)                         # (Bt, R)
+                l_a = out_ref[:, s0 + a_loc, :]               # (Bt, M)
+                touch = (rank >= B) | (rank > s0 + a_loc)
+                l_a = jnp.where(touch & (rank != s0 + a_loc), l_a, 0.0)
+                out_ref[:, s0 + w:, :] = \
+                    rest - u_a[:, :, None] * l_a[:, None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "batch_tile"))
 def lu_panel(panel, interpret: bool = False, batch_tile: int = 32):
-    """Factor a batched panel (N_b, M, B) in VMEM, tiled over the batch.
+    """Factor a batched panel (N_b, M, B) in VMEM (transposed layout).
 
-    Returns (LU_panel, perm (N_b, M) int32) with
-    ``panel_in[t, perm[t]] = L@U`` per batch element. The batch is
-    processed in VMEM-resident tiles of ``batch_tile`` (grid-pipelined by
-    Mosaic, so HBM↔VMEM transfers overlap compute).
-    """
+    Returns (LU_panel, rank): rows in input order; see module
+    docstring for the rank/reorder contract."""
     Nb, M, B = panel.shape
-    # VMEM budget: in + out (+ pipelining headroom) under ~10 MB
     per_mat = (2 * M * B + M) * 4 * 2
     bt_budget = max(1, (10 * 2 ** 20) // per_mat)
     bt = min(batch_tile, bt_budget, Nb)
-    # 2-D outputs need a sublane-divisible batch tile (multiple of 8,
-    # or the whole batch)
     if bt < Nb:
         bt = max(8 * (bt // 8), min(8, Nb)) if Nb >= 8 else Nb
     if Nb % bt != 0:
-        # pad the batch to a tile multiple
         pad = (-Nb) % bt
         panel = jnp.concatenate(
             [panel, jnp.zeros((pad, M, B), panel.dtype)], axis=0)
-        out, perm = lu_panel(panel, interpret=interpret, batch_tile=bt)
-        return out[:Nb], perm[:Nb]
+        out, rank = lu_panel(panel, interpret=interpret, batch_tile=bt)
+        return out[:Nb], rank[:Nb]
+    at = jnp.swapaxes(panel, -1, -2)                  # (Nb, B, M)
     grid = (panel.shape[0] // bt,)
-    out, perm = pl.pallas_call(
+    out_t, rank = pl.pallas_call(
         _lu_panel_kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((bt, M, B), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((bt, B, M), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((bt, M, B), lambda i: (i, 0, 0),
+        out_specs=(pl.BlockSpec((bt, B, M), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((bt, M), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(
-            jax.ShapeDtypeStruct((panel.shape[0], M, B), panel.dtype),
+            jax.ShapeDtypeStruct((panel.shape[0], B, M), panel.dtype),
             jax.ShapeDtypeStruct((panel.shape[0], M), jnp.int32),
         ),
         interpret=interpret,
-    )(panel)
-    return out, perm
+    )(at)
+    return jnp.swapaxes(out_t, -1, -2), rank
