@@ -73,7 +73,7 @@ def _inv_base(l):
     return jnp.stack(rows, axis=-2)
 
 
-def _chol_inv_rec(a):
+def _chol_rec(a, with_inv: bool):
     """Half/half Cholesky recursion that propagates L⁻¹ alongside L:
 
         L   = [[L11, 0], [L21, L22]]
@@ -83,29 +83,40 @@ def _chol_inv_rec(a):
     separate triangular inversion from the factorisation and from its
     consumers (CholeskyQR2 whitening, Gram-SVD orthogonalisation,
     trailing solves) — measured fastest of the panel/Pallas/Neumann
-    alternatives on a v5e at both (32, 512²) and (1024, 128²)."""
+    alternatives on a v5e at both (32, 512²) and (1024, 128²).
+
+    ``with_inv=False`` prunes what the caller doesn't need: the left
+    child's inverse is always required (it whitens the panel,
+    l21 = A21·iL11ᵀ), but i21 — the two LARGEST inverse GEMMs of each
+    node — and the right spine's inverses are skipped."""
     n = a.shape[-1]
     if n <= _BASE:
         l = _chol_base(a)
-        return l, _inv_base(l)
+        return l, (_inv_base(l) if with_inv else None)
     m = n // 2
-    l11, i11 = _chol_inv_rec(a[..., :m, :m])
+    l11, i11 = _chol_rec(a[..., :m, :m], True)
     l21 = mm(a[..., m:, :m], mt(i11))
-    l22, i22 = _chol_inv_rec(a[..., m:, m:] - mm(l21, mt(l21)))
-    i21 = -mm(i22, mm(l21, i11))
+    l22, i22 = _chol_rec(a[..., m:, m:] - mm(l21, mt(l21)), with_inv)
     ztop = jnp.zeros(a.shape[:-2] + (m, n - m), a.dtype)
     L = jnp.concatenate(
         [jnp.concatenate([l11, ztop], axis=-1),
          jnp.concatenate([l21, l22], axis=-1)], axis=-2)
+    if not with_inv:
+        return L, None
+    i21 = -mm(i22, mm(l21, i11))
     Li = jnp.concatenate(
         [jnp.concatenate([i11, ztop], axis=-1),
          jnp.concatenate([i21, i22], axis=-1)], axis=-2)
     return L, Li
 
 
+def _chol_inv_rec(a):
+    return _chol_rec(a, True)
+
+
 def _chol_core(a):
     """Cholesky core for arbitrary leading dims."""
-    return _chol_inv_rec(a)[0]
+    return _chol_rec(a, False)[0]
 
 
 def _chol_inv_core(a):
@@ -114,18 +125,34 @@ def _chol_inv_core(a):
     return _chol_inv_rec(a)
 
 
-def cholesky_decomp(a):
+def cholesky_decomp(a, inv: bool = False):
     """Lower Cholesky factor L with A = L·Lᵀ (ref: cholesky.js:50).
-    Batched over leading dims."""
+    Batched over leading dims.
+
+    ``inv=True`` additionally returns L⁻¹ (computed fused inside the
+    recursion — two extra GEMMs per node, far cheaper than a separate
+    inversion); pass it to :func:`cholesky_solve` to make each solve
+    two GEMMs."""
     a = jnp.asarray(a)
     a = a.astype(default_float_for(a.dtype))
     if a.ndim < 2:
         raise ValueError("cholesky_decomp expects ndim >= 2")
-    return _chol_core(a)
+    l, li = _chol_rec(a, inv)
+    from ..core.debug import dassert, dcheck_finite
+    dcheck_finite(l, "cholesky_decomp L")
+    dassert(jnp.diagonal(l, axis1=-2, axis2=-1) > 0,
+            "cholesky_decomp: non-positive pivot (input not SPD?)")
+    return (l, li) if inv else l
 
 
-def cholesky_solve(l, y):
+def cholesky_solve(l, y, l_inv=None):
     """Solve A @ x = y given L from :func:`cholesky_decomp`
-    (ref: cholesky.js:75)."""
+    (ref: cholesky.js:75). With ``l_inv`` (from
+    ``cholesky_decomp(a, inv=True)``) the solve is two GEMMs:
+    x = L⁻ᵀ·(L⁻¹·y)."""
+    if l_inv is not None:
+        l_inv = jnp.asarray(l_inv)
+        y = jnp.asarray(y).astype(l_inv.dtype)
+        return mm(mt(l_inv), mm(l_inv, y))
     z = tril_solve(l, y)
     return tril_t_solve(l, z)

@@ -153,29 +153,24 @@ def eigh_via_svd(a):
 
 @batched((2,))
 def eigh_tridiag_dc(a):
-    """Symmetric eigendecomposition via Householder tridiagonalization
-    + divide-&-conquer (tridiag_dc.py) — the large-single-matrix
-    throughput path for BASELINE config 4.
+    """Symmetric eigendecomposition via blocked tridiagonalization
+    + divide-&-conquer (sytrd.py + tridiag_dc.py) — the
+    large-single-matrix throughput path for BASELINE config 4.
 
-    A symmetric input's Hessenberg form IS tridiagonal, so the existing
-    reduction (hessenberg.py) provides Q·T·Qᵀ; the D&C engine solves T
-    with GEMM-dominated merges, and one back-transform GEMM restores
-    the eigenvectors. Unlike eigh_via_svd there is no spectrum shift:
-    small eigenvalues keep O(eps·‖A‖) absolute accuracy with none of
-    the ‖A‖_F-shift inflation."""
-    from .hessenberg import _hessenberg_core
+    The blocked latrd-style reduction (sytrd.py) provides Q·T·Qᵀ with
+    n³/3 HBM traffic (one matvec per column + two rank-2b GEMMs per
+    panel); the D&C engine solves T with GEMM-dominated merges, and one
+    back-transform GEMM restores the eigenvectors. Unlike eigh_via_svd
+    there is no spectrum shift: small eigenvalues keep O(eps·‖A‖)
+    absolute accuracy with none of the ‖A‖_F-shift inflation."""
+    from .sytrd import sytrd
     from .tridiag_dc import tridiag_eigh_dc
     a = jnp.asarray(a)
     a = a.astype(default_float_for(a.dtype))
-    a = (a + mt(a)) * 0.5
     n = a.shape[-1]
     if n == 1:
         return a[..., 0], jnp.ones_like(a)
-    h, q = _hessenberg_core(a)
-    d = jnp.diagonal(h)
-    # rounding can desymmetrize H slightly; use the subdiagonal the
-    # reflectors actually produced
-    e = jnp.diagonal(h, offset=1)
+    d, e, q = sytrd(a)
     w, v = tridiag_eigh_dc(d, e)
     return w, jnp.matmul(q, v, precision="highest")
 

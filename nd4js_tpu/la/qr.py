@@ -357,6 +357,21 @@ def _qr_public(a, economic: bool, method: str):
     return _qr_batched(a, economic=economic)
 
 
+def _qr_debug_guard(q, r):
+    """debug_checks guards: finite outputs + orthogonality spot-check
+    (the reference's /*DEBUG*/ density in qr.js:150-167)."""
+    from ..core.debug import dassert, dcheck_finite
+    from .. import config
+    if not config.debug_checks:
+        return
+    dcheck_finite((q, r), "qr_decomp (q, r)")
+    ncols = q.shape[-1]
+    eye = jnp.eye(ncols, dtype=q.dtype)
+    defect = jnp.max(jnp.abs(mm(mt(q), q) - eye))
+    tol = 64 * jnp.finfo(q.dtype).eps * max(q.shape[-2], ncols)
+    dassert(defect <= tol, "qr_decomp: Q orthogonality defect")
+
+
 def qr_decomp(a, method: str = "householder"):
     """Economic QR: A = Q·R, Q (..., M, K), R (..., K, N), K = min(M, N)
     (ref: qr.js:80-145). Batched over leading dims.
@@ -366,7 +381,9 @@ def qr_decomp(a, method: str = "householder"):
     BCGS2+CholeskyQR2 — needs κ(A) ≲ 1/√eps), or 'auto' (cholqr2 with
     a measured-orthogonality-defect fallback to householder — the fast
     path at householder robustness; the benchmark path)."""
-    return _qr_public(a, economic=True, method=method)
+    q, r = _qr_public(a, economic=True, method=method)
+    _qr_debug_guard(q, r)
+    return q, r
 
 
 def qr_decomp_full(a, method: str = "householder"):

