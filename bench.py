@@ -204,10 +204,10 @@ def bench_cfg1(results):
 
     def qr_lstsq(ay):
         a, y = ay
-        # library default (Householder): single-matrix latency is
-        # dispatch-bound and the Pallas-panel path has the fewest ops
-        q, r = la.qr_decomp(a)
-        return la.qr_lstsq(q, r, y)
+        # the fused Householder path (qr_lstsq_fused): the RHS rides
+        # the factorisation as appended columns — no Q formation, no
+        # separate Qᵀ·y (ref: qr.js:148-183 _qr_decomp_inplace)
+        return la.qr_lstsq_fused(a, y)
 
     def chain(ay):
         a, y = ay

@@ -10,7 +10,8 @@ from .matmul import matmul, matmul2
 from .tri import (tril, triu, tri_inv, tril_solve, triu_solve,
                   tril_t_solve, triu_t_solve)
 from .lu import lu_decomp, lu_solve
-from .qr import qr_decomp, qr_decomp_full, qr_lstsq, qr_solve
+from .qr import (qr_decomp, qr_decomp_full, qr_lstsq, qr_solve,
+                 qr_lstsq_fused)
 from .rrqr import (rrqr_decomp, rrqr_decomp_full, rrqr_rank,
                    rrqr_solve, rrqr_lstsq)
 from .singular_matrix_solve_error import SingularMatrixSolveError

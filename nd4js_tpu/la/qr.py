@@ -30,7 +30,8 @@ from ..core.mm import mm, mt
 from ..config import default_float_for
 from .tri import triu_solve
 
-__all__ = ["qr_decomp", "qr_decomp_full", "qr_lstsq", "qr_solve"]
+__all__ = ["qr_decomp", "qr_decomp_full", "qr_lstsq", "qr_solve",
+           "qr_lstsq_fused"]
 
 _PANEL = 128
 
@@ -244,13 +245,15 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _qr_factor_batched(a3, panel=_PANEL):
+def _qr_factor_batched(a3, panel=_PANEL, kmax=None):
     """Blocked Householder factorisation of (Bn, M, N) with the Pallas
-    VMEM panel kernel (ops/house_panel.py). Returns (R_packed, vts)."""
+    VMEM panel kernel (ops/house_panel.py). Returns (R_packed, vts).
+    ``kmax`` limits the factored columns (trailing columns are still
+    transformed — the fused-lstsq seam)."""
     from ..ops.house_panel import house_panel
     interp = _use_interpret()
     Bn, M, N = a3.shape
-    K = min(M, N)
+    K = min(M, N) if kmax is None else kmax
     vts = []
     for k in range(0, K, panel):
         b = min(panel, K - k)
@@ -410,3 +413,38 @@ def qr_solve(q, r, y):
     """Exact-solve alias for square systems (matches the reference's use
     of qr_lstsq on square inputs)."""
     return qr_lstsq(q, r, y)
+
+
+def qr_lstsq_fused(a, y):
+    """Least-squares solve x = argmin‖A·x − y‖ WITHOUT forming Q: the
+    RHS rides through the Householder factorisation as appended columns
+    (the block-reflector form of the reference's `_qr_decomp_inplace`,
+    qr.js:148-183, which applies each Givens rotation to A and Y
+    simultaneously) — so the whole solve is the panel factorisation,
+    the trailing updates (which transform y for free), and one blocked
+    triangular solve. Skips Q formation and the separate Qᵀ·y apply,
+    the dominant dispatch cost for single-matrix latency (BASELINE
+    config 1). Requires M ≥ N; batched over leading dims."""
+    import math as _math
+    a, y = jnp.asarray(a), jnp.asarray(y)
+    a = a.astype(default_float_for(a.dtype))
+    y = y.astype(a.dtype)
+    M, N = a.shape[-2:]
+    if M < N:
+        # parity with the reference: under-determined systems are
+        # rrqr/urv territory (qr.js:210 throws the same way)
+        raise ValueError("qr_lstsq_fused: under-determined systems not "
+                         "supported; use rrqr_lstsq or urv_lstsq")
+    L = y.shape[-1]
+    lead = jnp.broadcast_shapes(a.shape[:-2], y.shape[:-2])
+    a = jnp.broadcast_to(a, lead + (M, N))
+    y = jnp.broadcast_to(y, lead + (M, L))
+    Bn = max(1, _math.prod(lead))
+    aug = jnp.concatenate([a.reshape((Bn, M, N)),
+                           y.reshape((Bn, M, L))], axis=-1)
+    r, _ = _qr_factor_batched(aug, kmax=N)
+    rr = jnp.triu(r[:, :N, :N])
+    z = r[:, :N, N:]
+    from .tri import _triu_solve_blocked
+    x = _triu_solve_blocked(rr, z)
+    return x.reshape(lead + (N, L))

@@ -55,7 +55,7 @@ def test_eigh_spd_matches_cholesky_logdet():
 
 def test_hessenberg():
     rng = TestRNG("hessenberg")
-    for n in [1, 2, 3, 4, 10, 33, 80]:
+    for n in [1, 2, 3, 4, 10, 33, 80, 100, 131]:
         a = rng.matrix(n, n)
         q, h = la.hessenberg_decomp(a)
         q, h = np.asarray(q), np.asarray(h)

@@ -92,3 +92,25 @@ def test_qr_lstsq_square_solve():
     q, r = la.qr_decomp_full(a)
     x = la.qr_solve(q, r, y)
     assert_all_close(a @ np.asarray(x), y, rtol=1e-8, atol=1e-8)
+
+
+def test_qr_lstsq_fused():
+    """Fused lstsq (RHS rides the factorisation, no Q formation —
+    the block-reflector form of _qr_decomp_inplace, qr.js:148-183)
+    must match the unfused qr_decomp + qr_lstsq path."""
+    import jax.numpy as jnp
+    rng = TestRNG("qr_fused")
+    for (b, m, n, l) in [(1, 8, 8, 1), (3, 40, 24, 2), (2, 65, 64, 3)]:
+        a = rng.matrix(b, m, n)
+        y = rng.matrix(b, m, l)
+        x = np.asarray(la.qr_lstsq_fused(jnp.asarray(a), jnp.asarray(y)))
+        q, r = la.qr_decomp(jnp.asarray(a))
+        x_ref = np.asarray(la.qr_lstsq(q, r, jnp.asarray(y)))
+        assert np.abs(x - x_ref).max() < 1e-10 * max(
+            1, np.abs(x_ref).max()), (b, m, n)
+    # underdetermined raises, as the reference does (qr.js:210)
+    import pytest
+    a = rng.matrix(10, 14)
+    y = rng.matrix(10, 2)
+    with pytest.raises(ValueError):
+        la.qr_lstsq_fused(jnp.asarray(a), jnp.asarray(y))
