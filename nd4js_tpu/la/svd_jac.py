@@ -242,20 +242,31 @@ def _svd_jac_1sided_xla(a, max_sweeps: int = 24):
 
 
 
-# Name-parity aliases for the reference's Jacobi variants. All share the
-# one-sided core — on TPU the scheduling/tiling distinctions that
-# motivated the reference's three implementations (tournament pivot
-# search, cyclic-by-blocks, 4×4 cache tiles) collapse into the same
-# Brent-Luk parallel ordering; the *blocked* MXU variant lives in
-# svd_blocked.py once available.
-def svd_jac_classic(a, max_sweeps: int = 24):
-    """ref: src/la/svd_jac_classic.js (tournament max-off-diag pivot)."""
-    return svd_jac_1sided(a, max_sweeps=max_sweeps)
+# The reference's four Jacobi variants, each with its own mechanism:
+# one-sided Brent-Luk (this module), greedy max-pivot classic
+# (svd_jac_classic below), sequential row-cyclic two-sided Kogbetliantz
+# (svd_kogbetliantz.py), and the MXU block-tiled variant
+# (svd_block_jac.py).
+def svd_jac_classic(a, max_sweeps: int = 60):
+    """Classic two-sided Jacobi with greedy max-off-diagonal pivot
+    search (ref: src/la/svd_jac_classic.js:86-180 — the tournament tree
+    is the reference's O(log N) *incremental* argmax; on TPU a full
+    masked argmax reduction per rotation is the idiomatic equivalent,
+    one fused reduce instead of a pointer tree). Sequential by nature —
+    mechanism parity; use svd_gram/svd_jac_2sided_blocked for MXU-size
+    throughput."""
+    from .svd_classic import svd_jac_classic_greedy
+    return svd_jac_classic_greedy(a, max_sweeps=max_sweeps)
 
 
-def svd_jac_2sided(a, max_sweeps: int = 24):
-    """ref: src/la/svd_jac_2sided.js (cyclic two-sided)."""
-    return svd_jac_1sided(a, max_sweeps=max_sweeps)
+def svd_jac_2sided(a, max_sweeps: int = 30):
+    """Cyclic two-sided Jacobi / Kogbetliantz
+    (ref: src/la/svd_jac_2sided.js:30-144): sequential row-cyclic
+    sweeps with the reference's closed-form angle pair — the real
+    two-sided mechanism (see svd_kogbetliantz.py for why the parallel
+    tournament does not apply to the two-sided iteration)."""
+    from .svd_kogbetliantz import svd_kogbetliantz
+    return svd_kogbetliantz(a, max_sweeps=max_sweeps)
 
 
 def svd_jac_2sided_blocked(a, **kw):

@@ -105,13 +105,48 @@ def test_svd_solve_and_rank():
         la.svd_solve(us, svs, vs, y)
 
 
-def test_svd_variant_aliases():
+def test_svd_variant_mechanisms():
+    """Every Jacobi variant is a real distinct engine now: greedy
+    max-pivot classic (svd_classic.py), sequential row-cyclic
+    Kogbetliantz (svd_kogbetliantz.py), MXU block-tiled
+    (svd_block_jac.py) — all must satisfy the same generic contract."""
     rng = TestRNG("svd_variants")
     a = rng.matrix(12, 9)
     for fn in [la.svd_jac_classic, la.svd_jac_2sided,
                la.svd_jac_2sided_blocked]:
         u, sv, v = fn(a)
         _check_svd(a, u, sv, v)
+
+
+def test_svd_kogbetliantz_adversarial():
+    """Two-sided Kogbetliantz on the shapes that stall a *parallel*
+    two-sided ordering: clustered/near-equal singular values, repeated
+    blocks, odd sizes (the reason this engine is sequential row-cyclic;
+    see svd_kogbetliantz.py docstring)."""
+    rng = TestRNG("kog_adversarial")
+    # near-equal singular values
+    n = 14
+    q1 = rng.ortho(n, n)
+    q2 = rng.ortho(n, n)
+    sv_true = np.sort(1.0 + 1e-6 * rng.normal(n))[::-1]
+    a = (q1 * sv_true) @ q2.T
+    u, sv, v = la.svd_jac_2sided(a)
+    _check_svd(a, np.asarray(u), np.asarray(sv), np.asarray(v))
+    assert np.abs(np.sort(np.asarray(sv)) - np.sort(sv_true)).max() < 1e-12
+    # odd size, rank-deficient
+    a2, _ = rng.rankdef(11, 11, rank=7)
+    u, sv, v = la.svd_jac_2sided(a2)
+    _check_svd(a2, np.asarray(u), np.asarray(sv), np.asarray(v))
+
+
+def test_svd_classic_greedy_pivot_order():
+    """The greedy engine must reduce the largest coupling first and
+    converge on a matrix with one dominant off-diagonal pair."""
+    a = np.eye(6)
+    a[1, 4] = 0.9
+    a[4, 1] = -0.3
+    u, sv, v = la.svd_jac_classic(a)
+    _check_svd(a, np.asarray(u), np.asarray(sv), np.asarray(v))
 
 
 def test_svd_dc_contract():
