@@ -1,0 +1,128 @@
+"""Real-TPU hardware tests — compiled Pallas kernels + f32 contracts.
+
+The CPU suite runs every Pallas kernel in interpret mode only; a Mosaic
+miscompile or layout change would pass CI silently (VERDICT r2 weak
+#7). This file runs the compiled kernels on the actual chip and checks
+them against their interpret-mode/XLA equivalents and the library
+accuracy contracts at f32.
+
+Run (the verify skill's hardware config):
+
+    ND4JS_TPU_HW=1 python -m pytest tests/test_tpu_hw.py -q
+
+Skipped automatically when no TPU backend is available (the normal
+CPU-mesh CI run).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    if os.environ.get("ND4JS_TPU_HW") != "1":
+        return False
+    try:
+        return "tpu" in jax.devices()[0].device_kind.lower()
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _on_tpu(), reason="needs ND4JS_TPU_HW=1 and a real TPU backend")
+
+
+def _maxabs(x):
+    return float(jnp.abs(x).max())
+
+
+def test_house_panel_compiled_vs_interpret():
+    """The QR panel kernel compiled through Mosaic must agree with its
+    interpret-mode execution (same algorithm, same arithmetic order)."""
+    from nd4js_tpu.ops.house_panel import house_panel
+    a = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 128),
+                          jnp.float32)
+    rc, vc, tc = house_panel(a, interpret=False)
+    ri, vi, ti = house_panel(a, interpret=True)
+    assert _maxabs(rc - ri) <= 1e-5 * _maxabs(ri) + 1e-6
+    assert _maxabs(vc - vi) <= 1e-5 * max(1.0, _maxabs(vi))
+    assert _maxabs(tc - ti) <= 1e-5 * max(1.0, _maxabs(ti))
+
+
+def test_lu_panel_compiled_vs_xla_lu():
+    """Compiled LU panel → full lu_decomp must satisfy P·A = L·U on
+    hardware at f32 contract tolerance."""
+    from nd4js_tpu import la
+    a = jax.random.normal(jax.random.PRNGKey(1), (4, 256, 256),
+                          jnp.float32)
+    lu, p = jax.jit(la.lu_decomp)(a)
+    L = jnp.tril(lu, -1) + jnp.eye(256, dtype=lu.dtype)
+    U = jnp.triu(lu)
+    ap = jnp.take_along_axis(a, p[..., None], axis=-2)
+    rec = jnp.matmul(L, U, precision="highest")
+    assert _maxabs(rec - ap) <= 1e-5 * _maxabs(a) * 16
+
+
+def test_qr_auto_f32_contract_on_hw():
+    from nd4js_tpu import la
+    a = jax.random.normal(jax.random.PRNGKey(2), (4, 512, 512),
+                          jnp.float32)
+    q, r = jax.jit(lambda x: la.qr_decomp(x, method="auto"))(a)
+    eye = jnp.eye(512, dtype=q.dtype)
+    orth = _maxabs(jnp.matmul(jnp.swapaxes(q, -1, -2), q,
+                              precision="highest") - eye)
+    rec = _maxabs(jnp.matmul(q, r, precision="highest") - a)
+    eps = float(jnp.finfo(jnp.float32).eps)
+    assert orth <= 4 * eps * 512 * 8
+    assert rec <= 1e-5 * _maxabs(a) * 512 ** 0.5
+
+
+def test_svd_default_f32_contract_on_hw():
+    from nd4js_tpu import la
+    a = jax.random.normal(jax.random.PRNGKey(3), (2, 256, 256),
+                          jnp.float32)
+    u, sv, v = jax.jit(la.svd_decomp)(a)
+    rec = jnp.matmul(u * sv[..., None, :], v, precision="highest")
+    assert _maxabs(rec - a) <= 1e-5 * _maxabs(a) * 256 ** 0.5
+    assert bool(jnp.all(sv[..., :-1] >= sv[..., 1:]))
+    assert bool(jnp.all(sv >= 0))
+
+
+def test_solve_paths_f32_contract_on_hw():
+    """cfg2-shaped fused solves on hardware."""
+    from nd4js_tpu import la
+    key = jax.random.PRNGKey(4)
+    a = jax.random.normal(key, (32, 128, 128), jnp.float32)
+    spd = jnp.matmul(a, jnp.swapaxes(a, -1, -2),
+                     precision="highest") / 128 + 2 * jnp.eye(128)
+    y = jax.random.normal(jax.random.PRNGKey(5), (32, 128, 2),
+                          jnp.float32)
+
+    def go(s):
+        lu, p = la.lu_decomp(s)
+        xl = la.lu_solve(lu, p, y)
+        L, Li = la.cholesky_decomp(s, inv=True)
+        xc = la.cholesky_solve(L, y, l_inv=Li)
+        return xl, xc
+
+    xl, xc = jax.jit(go)(spd)
+    tol = 1e-4 * _maxabs(spd) * 128 ** 0.5
+    assert _maxabs(jnp.matmul(spd, xl, precision="highest") - y) <= tol
+    assert _maxabs(jnp.matmul(spd, xc, precision="highest") - y) <= tol
+
+
+def test_mm_precision_guard_on_hw():
+    """The library's pinned-precision matmul must NOT show the bf16
+    default-pass error floor: an f32 GEMM of ill-scaled data differs
+    between bf16 passes and 'highest' by ~1e-2 relative — core/mm.py
+    must sit at the 'highest' end (repo convention; CLAUDE.md)."""
+    from nd4js_tpu.core.mm import mm
+    key = jax.random.PRNGKey(6)
+    a = jax.random.normal(key, (512, 512), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(7), (512, 512), jnp.float32)
+    exact = jnp.matmul(a, b, precision="highest")
+    lib = mm(a, b)
+    assert _maxabs(lib - exact) <= 1e-5 * _maxabs(exact)
