@@ -158,20 +158,37 @@ def _chase_windowed(hp, qp, lo, hi, p0, p1, p2, W: int, n: int):
         def do(args):
             hp, qp, p0, p1, p2 = args
             b = jax.lax.dynamic_slice(hp, (w0, w0), (W, W))
+            iw = jnp.arange(W)
 
             def pos(kb, c):
+                # masked full-window rank-1 form: the reflector's 3-row
+                # support is scattered into a (W,) vector with iota
+                # blends, so each two-sided application is two
+                # outer-product updates of the whole block — ~half the
+                # kernel count of the dynamic-slice row/col form (the
+                # nested AED window Schur runs this loop ~10⁴ times per
+                # 1024² decomposition; exact zeros outside the support
+                # keep the arithmetic identical)
                 b, v, p0, p1, p2 = c
                 k = w0 + kb
                 act = k <= hi - 3
                 v0, v1, v2, tau = _house3(p0, p1, p2)
                 tau = jnp.where(act, tau, 0.0)
-                vv = jnp.stack([v0, v1, v2])
-                b = _apply_house3_rows(b, kb, vv, tau)
-                b = _apply_house3_cols(b, kb, vv, tau)
-                v = _apply_house3_cols(v, kb, vv, tau)
-                np0 = _get(b, kb + 1, kb)
-                np1 = _get(b, kb + 2, kb)
-                np2 = jnp.where(k + 3 < hi, _get(b, kb + 3, kb), 0.0)
+                rel = iw - kb
+                vfull = jnp.where(rel == 0, v0, 0.0) \
+                    + jnp.where(rel == 1, v1, 0.0) \
+                    + jnp.where(rel == 2, v2, 0.0)
+                tv = tau * vfull
+                wr = jnp.matmul(vfull, b, precision="highest")
+                b = b - tv[:, None] * wr[None, :]
+                wc = jnp.matmul(b, vfull, precision="highest")
+                b = b - wc[:, None] * tv[None, :]
+                wv = jnp.matmul(v, vfull, precision="highest")
+                v = v - wv[:, None] * tv[None, :]
+                flat = b.reshape(-1)
+                np0 = flat[(kb + 1) * W + kb]
+                np1 = flat[(kb + 2) * W + kb]
+                np2 = jnp.where(k + 3 < hi, flat[(kb + 3) * W + kb], 0.0)
                 p0 = jnp.where(act, np0, p0)
                 p1 = jnp.where(act, np1, p1)
                 p2 = jnp.where(act, np2, p2)
