@@ -73,7 +73,7 @@ def _inv_base(l):
     return jnp.stack(rows, axis=-2)
 
 
-def _chol_rec(a, with_inv: bool):
+def _chol_rec(a, with_inv: bool, base: int = _BASE):
     """Half/half Cholesky recursion that propagates L⁻¹ alongside L:
 
         L   = [[L11, 0], [L21, L22]]
@@ -88,15 +88,21 @@ def _chol_rec(a, with_inv: bool):
     ``with_inv=False`` prunes what the caller doesn't need: the left
     child's inverse is always required (it whitens the panel,
     l21 = A21·iL11ᵀ), but i21 — the two LARGEST inverse GEMMs of each
-    node — and the right spine's inverses are skipped."""
+    node — and the right spine's inverses are skipped.
+
+    ``base`` sets the unrolled-leaf size: larger leaves mean ~4× fewer
+    recursion nodes (dispatch) per doubling at the price of XLA compile
+    time — hot in-graph consumers (the svd_gram iteration runs a
+    chol_inv per GEMM-Jacobi step) use 64."""
     n = a.shape[-1]
-    if n <= _BASE:
+    if n <= base:
         l = _chol_base(a)
         return l, (_inv_base(l) if with_inv else None)
     m = n // 2
-    l11, i11 = _chol_rec(a[..., :m, :m], True)
+    l11, i11 = _chol_rec(a[..., :m, :m], True, base)
     l21 = mm(a[..., m:, :m], mt(i11))
-    l22, i22 = _chol_rec(a[..., m:, m:] - mm(l21, mt(l21)), with_inv)
+    l22, i22 = _chol_rec(a[..., m:, m:] - mm(l21, mt(l21)), with_inv,
+                         base)
     ztop = jnp.zeros(a.shape[:-2] + (m, n - m), a.dtype)
     L = jnp.concatenate(
         [jnp.concatenate([l11, ztop], axis=-1),
@@ -110,8 +116,8 @@ def _chol_rec(a, with_inv: bool):
     return L, Li
 
 
-def _chol_inv_rec(a):
-    return _chol_rec(a, True)
+def _chol_inv_rec(a, base: int = _BASE):
+    return _chol_rec(a, True, base)
 
 
 def _chol_core(a):
@@ -119,10 +125,10 @@ def _chol_core(a):
     return _chol_rec(a, False)[0]
 
 
-def _chol_inv_core(a):
+def _chol_inv_core(a, base: int = _BASE):
     """(L, L⁻¹) — the inverse rides along the recursion, so downstream
     triangular solves become GEMMs."""
-    return _chol_inv_rec(a)
+    return _chol_inv_rec(a, base)
 
 
 def cholesky_decomp(a, inv: bool = False):

@@ -108,7 +108,10 @@ def _gram_iterations(w, p, max_iters: int, tol):
         s = t
         # Φ₀ᵀΦ₀ = I − S·S for skew S; SPD with λ ∈ [1, 1+σmax(S)²]
         c = eye - mm(s, s)
-        _, linv = _chol_inv_core(c)
+        # base=64: the chol_inv runs once per GEMM-Jacobi step — the
+        # larger unrolled leaf quarters the recursion's dispatch count
+        # (the iteration's dominant non-GEMM cost)
+        _, linv = _chol_inv_core(c, base=64)
         linv_t = mt(linv)
         phi = linv_t + mm(s, linv_t)          # (I + S)·R⁻¹
         stacked = jnp.concatenate([w, p], axis=-2)
