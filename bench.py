@@ -296,8 +296,9 @@ def bench_cfg4(results):
     s = jax.random.normal(key, (N, N), jnp.float32)
     sym = (s + s.T) / 2
 
-    t, (w, v) = _amortized(lambda x: la.eigh(x, method="dc"), sym,
-                           iters=8)
+    # library default ('auto' routes MXU sizes to the blocked-sytrd
+    # D&C path — default == benched)
+    t, (w, v) = _amortized(la.eigh, sym, iters=8)
     rec = jnp.matmul(v * w[..., None, :], jnp.swapaxes(v, -1, -2),
                      precision="highest")
     recon = _maxabs(rec - sym)

@@ -18,11 +18,14 @@ _TOPLEVEL = """nd4js_tpu — TPU-native dense linear algebra & optimization
 
 Subpackages
 -----------
-  la        dense linear algebra: matmul, LU, Cholesky, LDL, Bunch-
-            Kaufman, QR/RRQR/SRRQR/URV (qr_decomp method=
-            'householder'|'cholqr2'|'auto'), bidiag, Hessenberg, Schur,
-            eigen, eigh (method='jacobi'|'dc'|'via_svd'), SVD
-            (svd_decomp method='jacobi'|'gram'|'blocked'|'dc'),
+  la        dense linear algebra: matmul, LU, Cholesky (inv=True
+            returns the fused L-inverse), LDL, Bunch-Kaufman,
+            QR/RRQR/SRRQR/URV (qr_decomp method='householder'|
+            'cholqr2'|'auto'; qr_lstsq_fused solves without forming Q),
+            bidiag, Hessenberg (blocked), Schur, eigen, eigh
+            (method='auto'|'jacobi'|'dc'|'via_svd'), six SVD engines
+            (svd_decomp method='auto'|'jacobi'|'gram'|'blocked'|'dc';
+            svd_jac_classic greedy pivot, svd_jac_2sided Kogbetliantz),
             solve/lstsq/rank/det, triangular kernels
   opt       optimization: L-BFGS(-B), trust-region Levenberg-Marquardt,
             dogleg, ODR/TLS, Nelder-Mead, Newton, line searches, 1-D

@@ -175,11 +175,18 @@ def eigh_tridiag_dc(a):
     return w, jnp.matmul(q, v, precision="highest")
 
 
-def eigh(a, max_sweeps: int = 30, method: str = "jacobi"):
+def eigh(a, max_sweeps: int = 30, method: str = "auto"):
     """Symmetric eigendecomposition, A = V·diag(w)·Vᵀ, w ascending
-    (NumPy-style name). method: 'jacobi' (default, highest relative
-    accuracy), 'dc' (tridiagonal divide-&-conquer — the throughput
-    path for large single matrices), or 'via_svd'."""
+    (NumPy-style name). method: 'auto' (default — MXU-size inputs,
+    n ≥ 128, route to the blocked-tridiagonalization divide-&-conquer
+    path; small inputs to the parallel Jacobi whose dispatch pattern
+    wins below the MXU tile — the shipped default IS the benched path),
+    'jacobi' (highest relative accuracy), 'dc' (tridiagonal
+    divide-&-conquer), or 'via_svd'."""
+    if method == "auto":
+        shape = jnp.shape(a)
+        method = "dc" if (len(shape) >= 2 and shape[-1] >= 128) \
+            else "jacobi"
     if method == "via_svd":
         return eigh_via_svd(a)
     if method == "dc":
