@@ -47,6 +47,15 @@ __all__ = ["schur_decomp", "schur_eigenvals", "schur_eigen"]
 # schur_eigen (perf/accuracy debugging hook; shipped default True)
 _REFINE = True
 
+# multishift tuning knobs (LAPACK dlaqr0's NS/NW/nibble analogues).
+# Env-overridable so the TPU tuning sweep (tools/tune_schur.py) can A/B
+# them without source edits; shipped defaults are the measured best.
+import os as _os
+_NB = int(_os.environ.get("ND4JS_TPU_SCHUR_NB", "8"))       # bulges/sweep
+_SW = int(_os.environ.get("ND4JS_TPU_SCHUR_SW", "24"))      # AED window
+_NIBBLE = int(_os.environ.get("ND4JS_TPU_SCHUR_NIBBLE", "4"))
+#   skip the sweep when AED deflated ≥ NS/_NIBBLE eigenvalues
+
 
 def _subdiag_floor(h, eps):
     """Norm-relative deflation floor eps·‖H‖_F: a subdiagonal below it
@@ -137,85 +146,6 @@ def _get(h, i, j):
     return jax.lax.dynamic_slice(h, (_i32(i), _i32(j)), (1, 1))[0, 0]
 
 
-def _chase_windowed(hp, qp, lo, hi, p0, p1, p2, W: int, n: int):
-    """One Francis double-shift bulge chase lo→hi, windowed: the bulge
-    is chased through W-position blocks whose reflectors touch only a
-    (W, W) diagonal block while accumulating the block-orthogonal V;
-    each slide then applies V to the off-block rows/columns and Q as
-    three GEMMs (the MXU-aggregated equivalent of the reference's
-    per-reflector full-row updates, schur.js:415-660; same math as
-    LAPACK's dlaqr5 row/column deferral). hp/qp are (n+W, n+W) padded
-    so every W-slice is in-bounds."""
-    dtype = hp.dtype
-    npad = hp.shape[0]
-    eyeW = jnp.eye(W, dtype=dtype)
-    n_slides = -(-(max(n - 1, 1)) // (W - 3))
-
-    def slide(s, carry):
-        hp, qp, p0, p1, p2 = carry
-        w0 = lo + _i32(s) * (W - 3)
-
-        def do(args):
-            hp, qp, p0, p1, p2 = args
-            b = jax.lax.dynamic_slice(hp, (w0, w0), (W, W))
-            iw = jnp.arange(W)
-
-            def pos(kb, c):
-                # masked full-window rank-1 form: the reflector's 3-row
-                # support is scattered into a (W,) vector with iota
-                # blends, so each two-sided application is two
-                # outer-product updates of the whole block — ~half the
-                # kernel count of the dynamic-slice row/col form (the
-                # nested AED window Schur runs this loop ~10⁴ times per
-                # 1024² decomposition; exact zeros outside the support
-                # keep the arithmetic identical)
-                b, v, p0, p1, p2 = c
-                k = w0 + kb
-                act = k <= hi - 3
-                v0, v1, v2, tau = _house3(p0, p1, p2)
-                tau = jnp.where(act, tau, 0.0)
-                rel = iw - kb
-                vfull = jnp.where(rel == 0, v0, 0.0) \
-                    + jnp.where(rel == 1, v1, 0.0) \
-                    + jnp.where(rel == 2, v2, 0.0)
-                tv = tau * vfull
-                wr = jnp.matmul(vfull, b, precision="highest")
-                b = b - tv[:, None] * wr[None, :]
-                wc = jnp.matmul(b, vfull, precision="highest")
-                b = b - wc[:, None] * tv[None, :]
-                wv = jnp.matmul(v, vfull, precision="highest")
-                v = v - wv[:, None] * tv[None, :]
-                flat = b.reshape(-1)
-                np0 = flat[(kb + 1) * W + kb]
-                np1 = flat[(kb + 2) * W + kb]
-                np2 = jnp.where(k + 3 < hi, flat[(kb + 3) * W + kb], 0.0)
-                p0 = jnp.where(act, np0, p0)
-                p1 = jnp.where(act, np1, p1)
-                p2 = jnp.where(act, np2, p2)
-                return b, v, p0, p1, p2
-
-            _, v, p0, p1, p2 = jax.lax.fori_loop(
-                0, W - 3, pos, (b, eyeW, p0, p1, p2))
-            # deferred off-block updates: Hp ← diag(I,V,I)ᵀ·Hp·diag(I,V,I)
-            rows = jax.lax.dynamic_slice(hp, (w0, _Z()), (W, npad))
-            rows = jnp.einsum("ij,ik->jk", v, rows, precision="highest")
-            hp = jax.lax.dynamic_update_slice(hp, rows, (w0, _Z()))
-            cols = jax.lax.dynamic_slice(hp, (_Z(), w0), (npad, W))
-            cols = jnp.einsum("ij,jk->ik", cols, v, precision="highest")
-            hp = jax.lax.dynamic_update_slice(hp, cols, (_Z(), w0))
-            qc = jax.lax.dynamic_slice(qp, (_Z(), w0), (npad, W))
-            qc = jnp.einsum("ij,jk->ik", qc, v, precision="highest")
-            qp = jax.lax.dynamic_update_slice(qp, qc, (_Z(), w0))
-            return hp, qp, p0, p1, p2
-
-        return jax.lax.cond(w0 <= hi - 3, do, lambda a_: a_,
-                            (hp, qp, p0, p1, p2))
-
-    hp, qp, p0, p1, p2 = jax.lax.fori_loop(
-        0, n_slides, slide, (hp, qp, p0, p1, p2))
-    return hp, qp, p0, p1
-
-
 def _chase_multishift(hp, qp, lo, hi, trs, dets, W: int, NB: int, n: int):
     """Small-bulge multishift sweep: NB Francis double-shift bulges,
     spaced 3 rows apart, chased simultaneously. Each group step applies
@@ -223,80 +153,40 @@ def _chase_multishift(hp, qp, lo, hi, trs, dets, W: int, NB: int, n: int):
     Π(I − τᵢvᵢvᵢᵀ) = I − V·diag(τ)·Vᵀ exactly — as rank-NB updates of
     the (W, W) window block, i.e. MXU work instead of NB sequential
     3-row passes (the TPU form of LAPACK dlaqr5's delayed-update
-    train; ref seam schur.js:415-660). Off-window rows/columns and Q
-    get the accumulated V per slide, as in _chase_windowed. hp/qp are
-    padded left by ≥ 3·(NB−1) and right by ≥ W (see _schur_core)."""
+    train; ref seam schur.js:415-660). The whole per-slide position
+    loop runs inside one Pallas kernel (ops/bulge_chase.py) — as XLA
+    ops its ~8 dispatches × (W−3NB) steps dominated the 1024² Schur
+    wall clock (the nested AED window Schur alone runs it ~10⁴ times).
+    Off-window rows/columns and Q get the accumulated V per slide as
+    three GEMMs. NB = 1 is the classic single-bulge Francis chase
+    (bulges enter at lo, exit through hi−2 with a degenerate 2-element
+    reflector). hp/qp are padded left by ≥ 3·(NB−1) and right by ≥ W
+    (see _schur_core)."""
+    from ..ops.bulge_chase import bulge_chase_steps, bulge_chase_steps_xla
     dtype = hp.dtype
     npad = hp.shape[0]
     OFF = 3 * (NB - 1)
     SL = W - 3 * NB
-    eyeW = jnp.eye(W, dtype=dtype)
     n_slides = -(-(n - 1 + 3 * NB) // SL)
-    ii = jnp.arange(NB)
-    rowW = jnp.arange(W)
+    interp = jax.default_backend() == "cpu"
+    # ND4JS_TPU_SCHUR_KERNEL=0: masked rank-NB XLA loop instead of the
+    # Pallas kernel (Mosaic-regression insurance; read at trace time)
+    use_kernel = _os.environ.get("ND4JS_TPU_SCHUR_KERNEL", "1") != "0"
+    if use_kernel:
+        chase = partial(bulge_chase_steps, interpret=interp)
+    else:
+        chase = bulge_chase_steps_xla
+    shifts = jnp.stack([jnp.asarray(trs, dtype),
+                        jnp.asarray(dets, dtype)], axis=1)   # (NB, 2)
 
-    p_init = jnp.zeros((NB, 3), dtype)
-
-    def slide(s, carry):
-        hp, qp, P = carry
+    def do_slide(s, hp, qp, P, seed: bool):
         w0 = lo + _i32(s) * SL - OFF
 
         def do(args):
             hp, qp, P = args
             b = jax.lax.dynamic_slice(hp, (w0, w0), (W, W))
-
-            def step(t, c):
-                b, v, P = c
-                k = lo + _i32(s) * SL + t - 3 * ii            # (NB,)
-                kb = t + OFF - 3 * ii
-                act = (k >= lo) & (k <= hi - 2)
-                # bulge entry: first column of (H−s₁ᵢ)(H−s₂ᵢ)·e₁ from
-                # the CURRENT (partially transformed) matrix — the
-                # implicit-Q product polynomial requires each bulge to
-                # be seeded after its predecessors' updates landed
-                entering = k == lo
-                flat0 = b.reshape(-1)
-                kbc = jnp.clip(kb, 0, W - 3)
-
-                def at(di, dj):
-                    return flat0[(kbc + di) * W + (kbc + dj)]
-
-                b00, b01 = at(0, 0), at(0, 1)
-                b10, b11 = at(1, 0), at(1, 1)
-                b21 = at(2, 1)
-                ip0 = b00 * b00 + b01 * b10 - trs * b00 + dets
-                ip1 = b10 * (b00 + b11 - trs)
-                ip2 = b10 * b21
-                P = jnp.where(entering[:, None],
-                              jnp.stack([ip0, ip1, ip2], axis=1), P)
-                p0, p1 = P[:, 0], P[:, 1]
-                p2 = jnp.where(k == hi - 2, 0.0, P[:, 2])
-                v0, v1, v2, tau = jax.vmap(_house3)(p0, p1, p2)
-                tau = jnp.where(act, tau, 0.0)
-                vmat = jnp.stack([v0, v1, v2], axis=1)        # (NB, 3)
-                # scatter the NB disjoint 3-supports into (W, NB)
-                rel = rowW[:, None] - kb[None, :]
-                vblk = jnp.zeros((W, NB), dtype)
-                for j in range(3):
-                    vblk = vblk + jnp.where(rel == j,
-                                            vmat[None, :, j], 0.0)
-                tv = tau[None, :] * vblk                      # (W, NB)
-                # B ← (I − VτVᵀ)·B·(I − VτVᵀ), V ← V·(I − VτVᵀ)
-                b = b - mm(vblk, mm(mt(tv), b))
-                b = b - mm(mm(b, tv), mt(vblk))
-                v = v - mm(mm(v, tv), mt(vblk))
-                # next bulge columns: B[kbᵢ+1+j, kbᵢ]
-                flat = b.reshape(-1)
-                idxs = (kb[:, None] + 1 + jnp.arange(3)[None, :]) * W \
-                    + kb[:, None]
-                nxt = flat[idxs]                              # (NB, 3)
-                nxt = jnp.where((k[:, None] + 3 < hi)
-                                | (jnp.arange(3)[None, :] < 2),
-                                nxt, 0.0)
-                P = jnp.where(act[:, None], nxt, P)
-                return b, v, P
-
-            _, v, P = jax.lax.fori_loop(0, SL, step, (b, eyeW, P))
+            v, P = chase(b, P, shifts, lo + _i32(s) * SL, lo, hi,
+                         sl=SL, seed=seed)
             rows = jax.lax.dynamic_slice(hp, (w0, _Z()), (W, npad))
             rows = jnp.einsum("ij,ik->jk", v, rows, precision="highest")
             hp = jax.lax.dynamic_update_slice(hp, rows, (w0, _Z()))
@@ -312,8 +202,16 @@ def _chase_multishift(hp, qp, lo, hi, trs, dets, W: int, NB: int, n: int):
         return jax.lax.cond(w0 <= hi - 2, do, lambda a_: a_,
                             (hp, qp, P))
 
-    hp, qp, _ = jax.lax.fori_loop(0, n_slides, slide,
-                                  (hp, qp, p_init))
+    # bulges only ever enter (k == lo) during slide 0 (SL > 3·(NB−1)),
+    # so the seed-extraction branch is compiled into that call alone
+    p0 = jnp.zeros((NB, 3), dtype)
+    hp, qp, P = do_slide(0, hp, qp, p0, True)
+
+    def slide(s, carry):
+        hp, qp, P = carry
+        return do_slide(s, hp, qp, P, False)
+
+    hp, qp, _ = jax.lax.fori_loop(1, n_slides, slide, (hp, qp, P))
     return hp, qp
 
 
@@ -499,12 +397,16 @@ def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
     # bulge train — so every (W, W) block slice is in-bounds; the
     # padding is an inert identity (zero subdiagonals — never activates)
     use_win = n >= 8
-    NB = 8                       # bulges per multishift sweep
-    SW = 24                      # AED window (> NS; its 24×24 Schur is
+    NB = _NB                     # bulges per multishift sweep
+    SW = _SW                     # AED window (> NS; its SW×SW Schur is
     #                              the per-iteration deflation engine)
     use_ms = n >= 192
+    if use_ms and 2 * NB + 2 > SW:
+        raise ValueError(
+            f"schur knobs: AED window SW={SW} must exceed NS+1=2·NB+1="
+            f"{2 * NB + 1} (shift extraction slices NS window eigenvalues)")
     W = min(128, n)
-    P0 = 24 if use_ms else 0
+    P0 = 3 * NB if use_ms else 0     # left pad ≥ 3·(NB−1) bulge-train room
     npad = P0 + n + W if use_win else n
     if use_win:
         pad_eye = jnp.eye(npad, dtype=dtype)
@@ -580,6 +482,15 @@ def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
         lam_exc = h_nn + 0.75 * s_mag
         tr = jnp.where(exc, 2 * lam_exc, tr)
         det = jnp.where(exc, lam_exc * lam_exc, det)
+
+        if use_win:
+            # single-bulge multishift: the bulge is seeded in-kernel at
+            # k = lo from the same (H−s1)(H−s2)·e1 polynomial and exits
+            # through hi−2 with a degenerate 2-element reflector (the
+            # classic chase's final rotation)
+            h, q = _chase_multishift(h, q, lo, hi, tr[None], det[None],
+                                     W, 1, n)
+            return h, q, locked, stuck + 1
         # first column of (H−s1)(H−s2)·e1 in the window
         h00 = _get(h, lo, lo)
         h01 = _get(h, lo, lo + 1)
@@ -590,29 +501,25 @@ def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
         p1 = h10 * (h00 + h11 - tr)
         p2 = h10 * h21
 
-        if use_win:
-            h, q, p0, p1 = _chase_windowed(h, q, lo, hi, p0, p1, p2,
-                                           W, n)
-        else:
-            def step(k, carry):
-                h, q, p0, p1, p2 = carry
-                v0, v1, v2, tau = _house3(p0, p1, p2)
-                v = jnp.stack([v0, v1, v2])
-                h = _apply_house3_rows(h, k, v, tau)
-                h = _apply_house3_cols(h, k, v, tau)
-                q = _apply_house3_cols(q, k, v, tau)
-                # next bulge column
-                np0 = _get(h, k + 1, k)
-                np1 = _get(h, k + 2, k)
-                np2 = jax.lax.cond(
-                    k + 3 < hi,
-                    lambda _: _get(h, jnp.minimum(k + 3, n - 1), k),
-                    lambda _: jnp.zeros((), dtype), 0)
-                return h, q, np0, np1, np2
+        def step(k, carry):
+            h, q, p0, p1, p2 = carry
+            v0, v1, v2, tau = _house3(p0, p1, p2)
+            v = jnp.stack([v0, v1, v2])
+            h = _apply_house3_rows(h, k, v, tau)
+            h = _apply_house3_cols(h, k, v, tau)
+            q = _apply_house3_cols(q, k, v, tau)
+            # next bulge column
+            np0 = _get(h, k + 1, k)
+            np1 = _get(h, k + 2, k)
+            np2 = jax.lax.cond(
+                k + 3 < hi,
+                lambda _: _get(h, jnp.minimum(k + 3, n - 1), k),
+                lambda _: jnp.zeros((), dtype), 0)
+            return h, q, np0, np1, np2
 
-            # we guarantee k+2 <= hi-1 <= n-1 by iterating k in [lo, hi-2)
-            h, q, p0, p1, p2 = jax.lax.fori_loop(
-                lo, jnp.maximum(hi - 2, lo), step, (h, q, p0, p1, p2))
+        # we guarantee k+2 <= hi-1 <= n-1 by iterating k in [lo, hi-2)
+        h, q, p0, p1, p2 = jax.lax.fori_loop(
+            lo, jnp.maximum(hi - 2, lo), step, (h, q, p0, p1, p2))
         # final 2-vector rotation to clear the (hi-1, hi-3) bulge entry
         g1, g2 = p0, p1
         nrm = jnp.sqrt(g1 * g1 + g2 * g2)
@@ -642,7 +549,8 @@ def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
 
         # LAPACK's "nibble": skip the (expensive) sweep when AED alone
         # deflated a decent chunk — re-AED next iteration instead
-        h, q = jax.lax.cond(d < NS // 4, sweep, lambda a_: a_, (h, q))
+        h, q = jax.lax.cond(d < NS // _NIBBLE, sweep, lambda a_: a_,
+                            (h, q))
         return h, q, locked, stuck + 1
 
     def cond_fn(carry):

@@ -10,5 +10,7 @@ from .lu_panel import lu_panel
 from .house_panel import house_panel
 from .jacobi_sweep import jacobi_sweeps
 from .rrqr_kernel import rrqr_kernel
+from .bulge_chase import bulge_chase_steps
 
-__all__ = ["lu_panel", "house_panel", "jacobi_sweeps", "rrqr_kernel"]
+__all__ = ["lu_panel", "house_panel", "jacobi_sweeps", "rrqr_kernel",
+           "bulge_chase_steps"]

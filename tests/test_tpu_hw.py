@@ -114,6 +114,48 @@ def test_solve_paths_f32_contract_on_hw():
     assert _maxabs(jnp.matmul(spd, xc, precision="highest") - y) <= tol
 
 
+def test_bulge_chase_compiled_vs_interpret():
+    """The Schur bulge-chase kernel compiled through Mosaic must agree
+    with its interpret-mode execution (multishift and single-bulge
+    configurations)."""
+    from nd4js_tpu.ops.bulge_chase import bulge_chase_steps
+    for w, nb in ((128, 8), (24, 1), (128, 1)):
+        a = jax.random.normal(jax.random.PRNGKey(10 + nb), (w, w),
+                              jnp.float32)
+        b = jnp.triu(a, -1)
+        sl = w - 3 * nb
+        trs = jax.random.normal(jax.random.PRNGKey(11), (nb,),
+                                jnp.float32)
+        dets = jax.random.normal(jax.random.PRNGKey(12), (nb,),
+                                 jnp.float32)
+        shifts = jnp.stack([trs, dets], axis=1)
+        P = jnp.zeros((nb, 3), jnp.float32)
+        vc, pc = bulge_chase_steps(b, P, shifts, 0, 0, w, sl=sl,
+                                   seed=True, interpret=False)
+        vi, pi = bulge_chase_steps(b, P, shifts, 0, 0, w, sl=sl,
+                                   seed=True, interpret=True)
+        assert _maxabs(vc - vi) <= 1e-5 * max(1.0, _maxabs(vi)), (w, nb)
+        assert _maxabs(pc - pi) <= 1e-4 * max(1.0, _maxabs(pi)), (w, nb)
+
+
+def test_schur_f32_contract_on_hw():
+    """End-to-end Schur at an MXU size on hardware (kernel-backed
+    chase): similarity + orthogonality + quasi-triangular structure."""
+    from nd4js_tpu import la
+    n = 256
+    a = jax.random.normal(jax.random.PRNGKey(13), (n, n), jnp.float32)
+    q, t = jax.jit(la.schur_decomp)(a)
+    eps = float(jnp.finfo(jnp.float32).eps)
+    eye = jnp.eye(n, dtype=q.dtype)
+    orth = _maxabs(jnp.matmul(jnp.swapaxes(q, -1, -2), q,
+                              precision="highest") - eye)
+    rec = _maxabs(jnp.matmul(jnp.matmul(q, t, precision="highest"),
+                             jnp.swapaxes(q, -1, -2),
+                             precision="highest") - a)
+    assert orth <= 4 * eps * n * 8
+    assert rec <= 16 * eps * n * _maxabs(a)
+
+
 def test_mm_precision_guard_on_hw():
     """The library's pinned-precision matmul must NOT show the bf16
     default-pass error floor: an f32 GEMM of ill-scaled data differs

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Sweep the Schur multishift knobs (NB bulges, SW AED window, nibble)
+on the live accelerator and report wall time per config.
+
+The knobs are read from env at import (la/schur.py), so each config
+runs in its own subprocess — also the honest way to time on the
+single-tenant TPU (one process at a time; see memory/CLAUDE.md).
+
+Usage:  python tools/tune_schur.py [N ...]     (default: 512 1024)
+Prints one JSON line per config and a ranked summary.
+"""
+import itertools
+import json
+import os
+import subprocess
+import sys
+
+_CHILD = r"""
+import json, os, sys, time
+import jax, jax.numpy as jnp
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))) if "__file__" in dir() else ".")
+from nd4js_tpu import la
+
+n = int(os.environ["TUNE_N"])
+key = jax.random.PRNGKey(8)
+a = jax.random.normal(key, (n, n), jnp.float32)
+
+f = jax.jit(la.schur_decomp)
+q, t = f(a)
+jax.block_until_ready((q, t))
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    q, t = f(a)
+    jax.block_until_ready((q, t))
+    best = min(best, time.perf_counter() - t0)
+rec = jnp.matmul(jnp.matmul(q, t, precision="highest"),
+                 jnp.swapaxes(q, -1, -2), precision="highest") - a
+resid = float(jnp.abs(rec).max())
+ok = resid <= 16 * float(jnp.finfo(jnp.float32).eps) * n \
+    * float(jnp.abs(a).max())
+print(json.dumps({"n": n, "sec": best, "resid": resid, "ok": ok,
+                  "NB": os.environ.get("ND4JS_TPU_SCHUR_NB"),
+                  "SW": os.environ.get("ND4JS_TPU_SCHUR_SW"),
+                  "NIB": os.environ.get("ND4JS_TPU_SCHUR_NIBBLE")}))
+"""
+
+
+def main():
+    sizes = [int(x) for x in sys.argv[1:]] or [512, 1024]
+    grid = [(8, 24, 4), (8, 32, 4), (8, 48, 4), (12, 32, 4),
+            (12, 48, 4), (16, 48, 4), (8, 24, 2), (8, 32, 8)]
+    results = []
+    for n, (nb, sw, nib) in itertools.product(sizes, grid):
+        env = dict(os.environ,
+                   ND4JS_TPU_SCHUR_NB=str(nb),
+                   ND4JS_TPU_SCHUR_SW=str(sw),
+                   ND4JS_TPU_SCHUR_NIBBLE=str(nib),
+                   TUNE_N=str(n))
+        p = subprocess.run([sys.executable, "-c", _CHILD], env=env,
+                           capture_output=True, text=True, timeout=1800,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() \
+            else ""
+        try:
+            r = json.loads(line)
+        except Exception:
+            r = {"n": n, "NB": nb, "SW": sw, "NIB": nib, "ok": False,
+                 "err": (p.stderr or "")[-400:]}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    good = [r for r in results if r.get("ok")]
+    for n in sizes:
+        rows = sorted((r for r in good if r["n"] == n),
+                      key=lambda r: r["sec"])
+        if rows:
+            b = rows[0]
+            print(f"# best n={n}: NB={b['NB']} SW={b['SW']} "
+                  f"NIB={b['NIB']}  {b['sec']*1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
