@@ -66,12 +66,25 @@ def _svd_dc_core(a):
     # eigenvector of +σ interleaves (v₁, u₁, v₂, u₂, …)/√2
     v_t = y[0::2, :]
     u_b = y[1::2, :]
-    # per-column renormalisation (exact halves only for simple ±σ
-    # pairs; σ ≈ 0 pairs can come out unbalanced)
+    # Per-column renormalisation. A trustworthy TGK eigenvector has
+    # EXACTLY balanced halves ‖u‖ = ‖v‖ = 1/√2 (simple ±σ pair), or is
+    # a pure one-sided null vector (σ = 0: ‖u‖ = 1, ‖v‖ = 0 or vice
+    # versa). Anything else is a σ ≈ 0 cluster mixture whose light side
+    # is numerical noise — renormalising a ~1e-11-norm half yields a
+    # unit-norm junk direction that near-duplicates other columns and
+    # NaNs the Cholesky polish (found by the zero-rows adversarial
+    # generator, ref _test_data_generators.js:83). Kill those columns
+    # per side and let the Householder completion rebuild them — for
+    # σ ≈ 0 any orthonormal complement is a valid singular basis.
     vn = jnp.sqrt(jnp.sum(v_t * v_t, axis=0))
     un = jnp.sqrt(jnp.sum(u_b * u_b, axis=0))
-    v_t = v_t / jnp.where(vn == 0, 1.0, vn)[None, :]
-    u_b = u_b / jnp.where(un == 0, 1.0, un)[None, :]
+    isq2 = 0.7071067811865476
+    u_ok = (jnp.abs(un - isq2) <= 0.15) | (un >= 0.95)
+    v_ok = (jnp.abs(vn - isq2) <= 0.15) | (vn >= 0.95)
+    u_b = jnp.where(u_ok[None, :],
+                    u_b / jnp.where(un == 0, 1.0, un)[None, :], 0.0)
+    v_t = jnp.where(v_ok[None, :],
+                    v_t / jnp.where(vn == 0, 1.0, vn)[None, :], 0.0)
     # sign fix: make U·diag(sv)·Vᵀ reproduce B's diagonal sign pattern
     # (σ columns are sign-ambiguous per (u, v) pair — pin u's sign to
     # B·v's)
@@ -79,8 +92,10 @@ def _svd_dc_core(a):
     flip = jnp.where(jnp.sum(bv * u_b, axis=0) < 0, -1.0, 1.0)
     u_b = u_b * flip[None, :]
     tol_rank = eps * K * jnp.max(sv)
-    u_b = _complete_u(u_b, sv, tol_rank=tol_rank)
-    v_t = _complete_u(v_t, sv, tol_rank=tol_rank)
+    u_b = _complete_u(u_b, sv, tol_rank=tol_rank,
+                      force=jnp.any(~u_ok))
+    v_t = _complete_u(v_t, sv, tol_rank=tol_rank,
+                      force=jnp.any(~v_ok))
     u_b = _orth_polish(u_b)
     v_t = _orth_polish(v_t)
     return mm(ub, u_b), sv, mm(mt(v_t), vb)

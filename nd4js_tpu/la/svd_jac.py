@@ -109,16 +109,19 @@ def _jacobi_core(w, max_sweeps: int, tol):
             jnp.concatenate([vt, vb], -1))
 
 
-def _complete_u(u_scaled, sv, tol_rank):
+def _complete_u(u_scaled, sv, tol_rank, force=False):
     """Orthonormal completion of U columns with sv ≈ 0 (Householder QR,
-    sign-fixed) — only executed (via lax.cond) when needed."""
+    sign-fixed) — only executed (via lax.cond) when needed. ``force``
+    (traced bool) triggers the repair regardless of the sv test —
+    callers that detect dead columns another way (svd_dc's TGK balance
+    test) pass it."""
     def repair(u):
         q, r = _qr_core(u, economic=True)
         d = jnp.diagonal(r)
         sign = jnp.where(d < 0, -1.0, 1.0).astype(u.dtype)
         return q * sign[None, :]
 
-    need = jnp.min(sv) <= tol_rank
+    need = (jnp.min(sv) <= tol_rank) | jnp.asarray(force)
     return jax.lax.cond(need, repair, lambda u: u, u_scaled)
 
 

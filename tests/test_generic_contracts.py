@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import pytest
 
 from nd4js_tpu import la
-from tests.utils import assert_all_close, TestRNG, eps
+from tests.utils import assert_all_close, TestRNG, eps, trials
 
 
 # -------------------------------------------------------------- solvers
@@ -69,7 +69,7 @@ def test_generic_solve_contract(solver):
     """Port of generic_test_solve: A·x = y for well-conditioned square
     systems, random shape sweep."""
     rng = TestRNG(f"generic_solve-{solver.__name__}")
-    for trial in range(6):
+    for trial in range(trials(6)):
         n = rng.int(1, 28)
         if solver in _SPD_ONLY:
             a = rng.spd(n, n)
@@ -117,7 +117,7 @@ def test_generic_lstsq_contract(solver):
     """Port of generic_test_lstsq: full-rank overdetermined systems must
     satisfy the normal equations Aᵀ(A·x − y) = 0."""
     rng = TestRNG(f"generic_lstsq-{solver.__name__}")
-    for trial in range(5):
+    for trial in range(trials(5)):
         n = rng.int(1, 16)
         m = n + rng.int(1, 16)
         a = rng.matrix(m, n)
@@ -138,7 +138,7 @@ def test_generic_minnorm_contract(solver):
     """Rank-deficient systems: the minimum-norm paths must match the
     pseudo-inverse solution exactly (not just any least-squares x)."""
     rng = TestRNG(f"generic_minnorm-{solver.__name__}")
-    for trial in range(4):
+    for trial in range(trials(4)):
         m = rng.int(3, 20)
         n = rng.int(3, 20)
         k = min(m, n)
@@ -192,11 +192,28 @@ _RECONS = [_recon_lu, _recon_qr, _recon_svd, _recon_svd_dc,
 
 @pytest.mark.parametrize("recon", _RECONS,
                          ids=lambda f: f.__name__.lstrip("_recon_"))
+def test_generic_degenerate_inputs(recon):
+    """Zero-row / zero-column matrices (the reference's _rand_rows0 /
+    _rand_cols0 adversarial generators, src/_test_data_generators.js:
+    83,118) must still decompose and reconstruct."""
+    rng = TestRNG(f"generic-degenerate-{recon.__name__}")
+    for trial in range(trials(4)):
+        m = rng.int(2, 20)
+        n = rng.int(2, 20)
+        a = rng.rows0(m, n) if trial % 2 == 0 else rng.cols0(m, n)
+        got, want = recon(a)
+        tol = eps(a.dtype) * 64 * max(m, n) * max(1.0, np.abs(a).max())
+        assert np.abs(got - want).max() <= tol, \
+            f"{recon.__name__} {m}x{n} trial={trial}"
+
+
+@pytest.mark.parametrize("recon", _RECONS,
+                         ids=lambda f: f.__name__.lstrip("_recon_"))
 def test_generic_reconstruction_contract(recon):
     """Every decomposition reconstructs its input within the reference
     residual bound eps·16·max(M,N)·‖A‖ (bench_la_decomps.html:73-74)."""
     rng = TestRNG(f"generic_recon-{recon.__name__}")
-    for trial in range(5):
+    for trial in range(trials(5)):
         m = rng.int(1, 24)
         n = rng.int(1, 24)
         a = rng.matrix(m, n, zeros_frac=0.05)

@@ -16,16 +16,29 @@ reference's orthogonality bound eps·max(M,N)·4.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 
 __all__ = ["TestRNG", "assert_all_close", "assert_band", "assert_tril",
            "assert_triu", "assert_diagonal", "assert_bidiagonal",
-           "assert_tridiagonal", "assert_hessenberg", "eps"]
+           "assert_tridiagonal", "assert_hessenberg", "eps", "trials"]
 
 
 def eps(dtype) -> float:
     return float(np.finfo(np.dtype(dtype)).eps)
+
+
+_DEEP = int(os.environ.get("ND4JS_TPU_DEEP", "1"))
+
+
+def trials(n: int) -> int:
+    """Trial count for property sweeps. The reference drives each spec
+    over 100s of generated inputs (forEachItemIn, SURVEY.md §4); the CI
+    default keeps the suite ~10 min on a 1-CPU host. Set
+    ``ND4JS_TPU_DEEP=K`` to multiply every sweep's trials by K for a
+    reference-scale run (K=20 ≈ the reference's ~50-minute depth)."""
+    return n * _DEEP
 
 
 class TestRNG:
@@ -109,6 +122,18 @@ class TestRNG:
         if zeros_frac > 0:
             a = np.where(self.np.uniform(size=shape) < zeros_frac, 0.0, a)
         return a.astype(dtype)
+
+    def rows0(self, m, n, dtype=np.float64):
+        """Random matrix with a random subset of rows exactly zero
+        (ref: src/_test_data_generators.js:83 `_rand_rows0`)."""
+        a = self.np.uniform(-2.0, 2.0, size=(m, n))
+        kill = self.np.uniform(size=(m,)) < self.np.uniform(0.1, 0.6)
+        return np.where(kill[:, None], 0.0, a).astype(dtype)
+
+    def cols0(self, m, n, dtype=np.float64):
+        """Random matrix with a random subset of columns exactly zero
+        (ref: src/_test_data_generators.js:118 `_rand_cols0`)."""
+        return self.rows0(n, m, dtype=dtype).T.copy()
 
     def shapes(self, n_iter=32, ndim_max=4, dim_max=12, core_min=1):
         """Yield random shapes (batch sweep) like the reference's
