@@ -373,12 +373,16 @@ def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
         aa, bb = a[0, 0], a[0, 1]
         cc, dd = a[1, 0], a[1, 1]
         disc = (aa - dd) * (aa - dd) + 4 * bb * cc
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        lam1 = (aa + dd + sq) * 0.5
-        lam2 = (aa + dd - sq) * 0.5
-        lam = jnp.where(jnp.abs(lam1 - dd) < jnp.abs(lam2 - dd), lam1, lam2)
-        g1 = jnp.where(jnp.abs(bb) >= jnp.abs(cc), bb, lam - dd)
-        g2 = jnp.where(jnp.abs(bb) >= jnp.abs(cc), lam - aa, cc)
+        # cancellation-free eigenvector differences (see standardize2)
+        p = 0.5 * (aa - dd)
+        sq2 = jnp.sqrt(jnp.maximum(disc, 0.0)) * 0.5
+        sgn = jnp.where(p >= 0, 1.0, -1.0)
+        lam_m_aa = -sgn * (jnp.abs(p) + sq2)
+        den = sq2 + jnp.abs(p)
+        lam_m_dd = -sgn * bb * cc / jnp.where(den == 0, 1.0, den)
+        big_b = jnp.abs(bb) >= jnp.abs(cc)
+        g1 = jnp.where(big_b, bb, lam_m_dd)
+        g2 = jnp.where(big_b, lam_m_aa, cc)
         nrm = jnp.sqrt(g1 * g1 + g2 * g2)
         safe = jnp.where(nrm == 0, 1.0, nrm)
         cs = jnp.where(nrm == 0, jnp.ones_like(g1), g1 / safe)
@@ -392,6 +396,23 @@ def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
         t = jnp.where(real, t.at[1, 0].set(0.0), t)
         return t, g
     h, q = _hessenberg_core(a)
+    # 8 ≤ n ≤ 128 and no debug taps: the whole iteration fits the
+    # in-VMEM small-Schur kernel (the window is the whole matrix, so
+    # the padded windowed machinery below is pure dispatch overhead —
+    # Hessenberg reduction + ONE kernel launch replaces ~30 XLA ops ×
+    # ~4·n while_loop iterations)
+    if (8 <= n <= 128 and _debug_hist is None
+            and _os.environ.get("ND4JS_TPU_SCHUR_KERNEL", "1") != "0"):
+        from ..ops.schur_small import schur_small
+        tk, qk, lkk = schur_small(
+            h, max_iter_factor=max_iter_factor,
+            interpret=jax.default_backend() == "cpu")
+        q = mm(q, qk)
+        if _debug_raw:
+            return tk, q, None, (lkk[0, :n - 1] > 0.5)
+        rr = jnp.arange(n)[:, None]
+        cc_ = jnp.arange(n)[None, :]
+        return jnp.where(rr <= cc_ + 1, tk, 0.0), q
     # windowed (GEMM-aggregated) chase for n ≥ 8: pad by the window
     # size on the right — plus 3·(NB−1) on the left for the multishift
     # bulge train — so every (W, W) block slice is in-bounds; the
@@ -433,15 +454,23 @@ def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
 
         def real_case(args):
             h, q, locked = args
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            # eigenvalue closer to dd for stability
-            lam1 = (aa + dd + sq) * 0.5
-            lam2 = (aa + dd - sq) * 0.5
-            lam = jnp.where(jnp.abs(lam1 - dd) < jnp.abs(lam2 - dd),
-                            lam1, lam2)
-            # rotation with first column ∝ eigenvector of the block
-            g1 = jnp.where(jnp.abs(bb) >= jnp.abs(cc), bb, lam - dd)
-            g2 = jnp.where(jnp.abs(bb) >= jnp.abs(cc), lam - aa, cc)
+            # rotation with first column ∝ eigenvector of the λ closest
+            # to dd — both λ−aa and λ−dd computed CANCELLATION-FREE:
+            # λ−aa = −sgn(p)(|p|+sq), λ−dd = −sgn(p)·bc/(sq+|p|) with
+            # p = (aa−dd)/2, sq = √(p²+bc). The naive λ−dd loses every
+            # digit when bc ≪ (aa−dd)² (λ rounds to dd exactly), and
+            # the resulting ~√eps-wrong rotation breaks the similarity
+            # (found by the in-VMEM kernel's symmetric-tridiagonal
+            # contract test; same latent defect here)
+            p = 0.5 * (aa - dd)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0)) * 0.5
+            sgn = jnp.where(p >= 0, 1.0, -1.0)
+            lam_m_aa = -sgn * (jnp.abs(p) + sq)
+            den = sq + jnp.abs(p)
+            lam_m_dd = -sgn * bb * cc / jnp.where(den == 0, 1.0, den)
+            big_b = jnp.abs(bb) >= jnp.abs(cc)
+            g1 = jnp.where(big_b, bb, lam_m_dd)
+            g2 = jnp.where(big_b, lam_m_aa, cc)
             nrm = jnp.sqrt(g1 * g1 + g2 * g2)
             safe = jnp.where(nrm == 0, 1.0, nrm)
             cs = jnp.where(nrm == 0, jnp.ones_like(g1), g1 / safe)
@@ -532,6 +561,21 @@ def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
         q = _apply_rot2_cols(q, k, cs, sn)
         return h, q, locked, stuck + 1
 
+    # the AED window Schur engine: ONE Pallas launch per AED call
+    # (ops/schur_small.py) instead of the nested `_schur_core`
+    # while_loop whose ~30 ops × ~4·SW iterations per call dominated
+    # the 1024² wall clock; ND4JS_TPU_SCHUR_KERNEL=0 restores the
+    # nested-XLA-core fallback
+    if _os.environ.get("ND4JS_TPU_SCHUR_KERNEL", "1") != "0":
+        from ..ops.schur_small import schur_small as _ss_kernel
+        _interp_small = jax.default_backend() == "cpu"
+
+        def _window_schur(sw, _debug_raw=True):
+            tw, qw, lkw = _ss_kernel(sw, interpret=_interp_small)
+            return tw, qw, None, lkw
+    else:
+        _window_schur = _schur_core
+
     def chase_ms(st):
         """AED + multishift sweep (LAPACK dlaqr0-style): aggressively
         deflate the trailing window, then — unless the deflation alone
@@ -540,7 +584,7 @@ def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
         h, q, locked, lo, hi, stuck = st
         NS = 2 * NB
         d, h, q, locked, trs, dets = _aed(
-            h, q, locked, lo, hi, SW, NS, eps, _schur_core)
+            h, q, locked, lo, hi, SW, NS, eps, _window_schur)
 
         def sweep(args):
             h, q = args

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from nd4js_tpu import la
-from tests.utils import assert_all_close, assert_band, TestRNG, eps
+from tests.utils import assert_all_close, assert_band, TestRNG, eps, trials
 
 
 def test_bidiag_shapes_and_contract():
@@ -37,7 +37,7 @@ def test_bidiag_batched():
 
 def test_srrqr_contract_and_rank():
     rng = TestRNG("srrqr")
-    for trial in range(6):
+    for trial in range(trials(6)):
         m, n = rng.int(4, 25), rng.int(4, 25)
         a, r_true = rng.rankdef(m, n)
         q, r, p, rank = la.srrqr_decomp_full(a)
@@ -65,7 +65,7 @@ def test_srrqr_kahan_matrix():
 
 def test_urv_contract():
     rng = TestRNG("urv_contract")
-    for trial in range(5):
+    for trial in range(trials(5)):
         m, n = rng.int(4, 25), rng.int(4, 25)
         a, r_true = rng.rankdef(m, n)
         u, r, v, rank = la.urv_decomp_full(a)

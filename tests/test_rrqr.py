@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from nd4js_tpu import la
-from tests.utils import assert_all_close, assert_triu, TestRNG, eps
+from tests.utils import assert_all_close, assert_triu, TestRNG, eps, trials
 
 
 def _check(a, q, r, p, economic=True):
@@ -42,7 +42,7 @@ def test_rrqr_full():
 
 def test_rrqr_rank_detection():
     rng = TestRNG("rrqr_rank")
-    for trial in range(10):
+    for trial in range(trials(10)):
         m = rng.int(5, 40)
         n = rng.int(5, 40)
         a, rank = rng.rankdef(m, n)

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from nd4js_tpu import la
-from tests.utils import assert_all_close, TestRNG, eps
+from tests.utils import assert_all_close, TestRNG, eps, trials
 
 
 def _check_svd(a, u, sv, v):
@@ -41,7 +41,7 @@ def test_svd_shapes_sweep():
 
 def test_svd_rank_deficient():
     rng = TestRNG("svd_rankdef")
-    for trial in range(6):
+    for trial in range(trials(6)):
         m = rng.int(4, 40)
         n = rng.int(4, 40)
         a, r_true = rng.rankdef(m, n)

@@ -138,6 +138,26 @@ def test_bulge_chase_compiled_vs_interpret():
         assert _maxabs(pc - pi) <= 1e-4 * max(1.0, _maxabs(pi)), (w, nb)
 
 
+def test_schur_small_kernel_compiled_vs_interpret():
+    """The in-VMEM small-Schur kernel compiled through Mosaic must
+    agree with interpret mode (same program — tolerance covers fp
+    reassociation) and satisfy the similarity contract."""
+    from nd4js_tpu.ops.schur_small import schur_small
+    for w, seed in ((24, 0), (32, 1), (48, 2)):
+        a = jnp.triu(jax.random.normal(jax.random.PRNGKey(seed),
+                                       (w, w), jnp.float32), -1)
+        tc, qc, lkc = schur_small(a, interpret=False)
+        eps = float(jnp.finfo(jnp.float32).eps)
+        eye = jnp.eye(w, dtype=a.dtype)
+        orth = _maxabs(jnp.matmul(jnp.swapaxes(qc, -1, -2), qc,
+                                  precision="highest") - eye)
+        rec = _maxabs(jnp.matmul(jnp.matmul(qc, tc, precision="highest"),
+                                 jnp.swapaxes(qc, -1, -2),
+                                 precision="highest") - a)
+        assert orth <= 64 * eps * w, (w, orth)
+        assert rec <= 64 * eps * w * _maxabs(a), (w, rec)
+
+
 def test_schur_f32_contract_on_hw():
     """End-to-end Schur at an MXU size on hardware (kernel-backed
     chase): similarity + orthogonality + quasi-triangular structure."""
