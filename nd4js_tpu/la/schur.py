@@ -798,6 +798,150 @@ def _complex_triangularize_reim(q, t):
     return qc, tc, lam_out
 
 
+def _trevc_backsub_blocked(tc, lam, smallnum, bignum, nbk: int = 64):
+    """Blocked xTREVC backward substitution: all eigenvector columns of
+    (Tc − λ_k)·x_k = 0 solved at once, rows processed in nbk-blocks
+    bottom-up so each block's below-block accumulation is ONE complex
+    GEMM (MXU) and only the in-block recurrence stays elementwise. The
+    row-at-a-time form touches the full (n, n) every row — O(n³) VPU
+    work that dominated cfg4_eigen's wall at 1024². Semantics
+    (xTREVC clamped pivots + per-column growth rescale) exactly match
+    the unblocked loop in schur_eigen."""
+    n = tc[0].shape[-1]
+    dtype = tc[0].dtype
+    col_idx = jnp.arange(n)
+    x = (jnp.eye(n, dtype=dtype), jnp.zeros((n, n), dtype))
+    ones_n = jnp.ones((n,), dtype)
+    zeros_n = jnp.zeros((n,), dtype)
+    # rows n−2..0 in blocks [b0, b1); row n−1 keeps its unit init
+    bounds = []
+    b1 = n - 1
+    while b1 > 0:
+        b0 = max(0, b1 - nbk)
+        bounds.append((b0, b1))
+        b1 = b0
+    for b0, b1 in bounds:
+        nb = b1 - b0
+        tb = (tc[0][b0:b1, b0:b1], tc[1][b0:b1, b0:b1])
+        # rows ≥ b1 of x are final — one GEMM for the whole block
+        accp = cpx.matmul((tc[0][b0:b1, b1:], tc[1][b0:b1, b1:]),
+                          (x[0][b1:, :], x[1][b1:, :]))
+        xb = (x[0][b0:b1, :], x[1][b0:b1, :])
+        loc = jnp.arange(nb)
+
+        def brow(step, carry, nb=nb, b0=b0, tb=tb, loc=loc):
+            xb, accp, ftot = carry
+            il = nb - 1 - step
+            i = b0 + il
+            ii = _i32(il)
+            trow = (jax.lax.dynamic_slice(tb[0], (ii, _Z()), (1, nb))[0],
+                    jax.lax.dynamic_slice(tb[1], (ii, _Z()), (1, nb))[0])
+            mask = (loc > il)[:, None]
+            prod = cpx.mul((trow[0][:, None], trow[1][:, None]), xb)
+            acc = (jnp.sum(jnp.where(mask, prod[0], 0.0), axis=0)
+                   + jax.lax.dynamic_slice(accp[0], (ii, _Z()), (1, n))[0],
+                   jnp.sum(jnp.where(mask, prod[1], 0.0), axis=0)
+                   + jax.lax.dynamic_slice(accp[1], (ii, _Z()), (1, n))[0])
+            tii = (jnp.sum(jnp.where(loc == il, trow[0], 0.0)),
+                   jnp.sum(jnp.where(loc == il, trow[1], 0.0)))
+            den = cpx.sub((jnp.full((n,), tii[0]),
+                           jnp.full((n,), tii[1])), lam)
+            small = cpx.cabs(den) <= smallnum
+            den = (jnp.where(small, smallnum, den[0]),
+                   jnp.where(small, 0.0, den[1]))
+            xi = cpx.div((-acc[0], -acc[1]), den)
+            xi = cpx.where(col_idx > i, xi,
+                           cpx.where(col_idx == i, cpx.cpx(ones_n),
+                                     cpx.cpx(zeros_n)))
+            m = jnp.maximum(jnp.abs(xi[0]), jnp.abs(xi[1]))
+            f = jnp.where(m > bignum,
+                          1.0 / jnp.where(m > bignum, m, 1.0), 1.0)
+            fr = f[None, :]
+            xi = (xi[0] * f, xi[1] * f)
+            xb = (jax.lax.dynamic_update_slice(
+                      xb[0] * fr, xi[0][None, :], (ii, _Z())),
+                  jax.lax.dynamic_update_slice(
+                      xb[1] * fr, xi[1][None, :], (ii, _Z())))
+            accp = (accp[0] * fr, accp[1] * fr)
+            return xb, accp, ftot * f
+
+        xb, _, ftot = jax.lax.fori_loop(
+            0, nb, brow, (xb, accp, ones_n))
+        fr = ftot[None, :]
+        x = (x[0].at[b0:b1, :].set(xb[0]).at[b1:, :].multiply(fr),
+             x[1].at[b0:b1, :].set(xb[1]).at[b1:, :].multiply(fr))
+    return x
+
+
+def _trevc_refine_blocked(tc, lam, smallnum, xs, nbk: int = 64):
+    """Blocked form of the inverse-iteration refinement pass: solve
+    (Tc − λ_k)·y_k = x_k for every column by the same blocked backward
+    substitution as _trevc_backsub_blocked (GEMM below the block,
+    elementwise recurrence inside)."""
+    n = tc[0].shape[-1]
+    dtype = tc[0].dtype
+    y = (jnp.zeros((n, n), dtype), jnp.zeros((n, n), dtype))
+    ones_n = jnp.ones((n,), dtype)
+    bounds = []
+    b1 = n
+    while b1 > 0:
+        b0 = max(0, b1 - nbk)
+        bounds.append((b0, b1))
+        b1 = b0
+    for b0, b1 in bounds:
+        nb = b1 - b0
+        tb = (tc[0][b0:b1, b0:b1], tc[1][b0:b1, b0:b1])
+        accp = cpx.matmul((tc[0][b0:b1, b1:], tc[1][b0:b1, b1:]),
+                          (y[0][b1:, :], y[1][b1:, :]))
+        yb = (y[0][b0:b1, :], y[1][b0:b1, :])
+        xsb = (xs[0][b0:b1, :], xs[1][b0:b1, :])
+        loc = jnp.arange(nb)
+
+        def brow(step, carry, nb=nb, tb=tb, loc=loc):
+            yb, accp, xsb, ftot = carry
+            il = nb - 1 - step
+            ii = _i32(il)
+            trow = (jax.lax.dynamic_slice(tb[0], (ii, _Z()), (1, nb))[0],
+                    jax.lax.dynamic_slice(tb[1], (ii, _Z()), (1, nb))[0])
+            mask = (loc > il)[:, None]
+            prod = cpx.mul((trow[0][:, None], trow[1][:, None]), yb)
+            acc = (jnp.sum(jnp.where(mask, prod[0], 0.0), axis=0)
+                   + jax.lax.dynamic_slice(accp[0], (ii, _Z()), (1, n))[0],
+                   jnp.sum(jnp.where(mask, prod[1], 0.0), axis=0)
+                   + jax.lax.dynamic_slice(accp[1], (ii, _Z()), (1, n))[0])
+            tii = (jnp.sum(jnp.where(loc == il, trow[0], 0.0)),
+                   jnp.sum(jnp.where(loc == il, trow[1], 0.0)))
+            den = cpx.sub((jnp.full((n,), tii[0]),
+                           jnp.full((n,), tii[1])), lam)
+            small = cpx.cabs(den) < smallnum
+            den = (jnp.where(small, smallnum, den[0]),
+                   jnp.where(small, 0.0, den[1]))
+            rhs = (jax.lax.dynamic_slice(xsb[0], (ii, _Z()), (1, n))[0],
+                   jax.lax.dynamic_slice(xsb[1], (ii, _Z()), (1, n))[0])
+            yi = cpx.div(cpx.sub(rhs, acc), den)
+            m = jnp.maximum(jnp.abs(yi[0]), jnp.abs(yi[1]))
+            f = jnp.where(m > 1e18,
+                          1.0 / jnp.where(m > 1e18, m, 1.0), 1.0)
+            fr = f[None, :]
+            yi = (yi[0] * f, yi[1] * f)
+            yb = (jax.lax.dynamic_update_slice(
+                      yb[0] * fr, yi[0][None, :], (ii, _Z())),
+                  jax.lax.dynamic_update_slice(
+                      yb[1] * fr, yi[1][None, :], (ii, _Z())))
+            accp = (accp[0] * fr, accp[1] * fr)
+            xsb = (xsb[0] * fr, xsb[1] * fr)
+            return yb, accp, xsb, ftot * f
+
+        yb, _, _, ftot = jax.lax.fori_loop(
+            0, nb, brow, (yb, accp, xsb, ones_n))
+        fr = ftot[None, :]
+        y = (y[0].at[b0:b1, :].set(yb[0]).at[b1:, :].multiply(fr),
+             y[1].at[b0:b1, :].set(yb[1]).at[b1:, :].multiply(fr))
+        xs = (xs[0].at[:b0, :].multiply(fr),
+              xs[1].at[:b0, :].multiply(fr))
+    return y
+
+
 def schur_eigen(q, t, split: bool = False):
     """[Λ, V] eigen-decomposition from a real Schur form
     (ref: schur.js:90-370): A = Q·T·Qᵀ ⇒ A·V = V·diag(Λ).
@@ -827,7 +971,10 @@ def schur_eigen(q, t, split: bool = False):
         smallnum = eps * tnorm + jnp.finfo(t.dtype).tiny
         bignum = jnp.sqrt(jnp.finfo(t.dtype).max) / max(n, 1)
         # backward substitution for all eigenvectors at once:
-        # (T − λ_k)·x = 0, x[k,k] = 1, columns k solved simultaneously
+        # (T − λ_k)·x = 0, x[k,k] = 1, columns k solved simultaneously;
+        # MXU sizes take the blocked form (GEMM below the block — the
+        # row-at-a-time loop is O(n³) VPU work)
+        use_blocked = n > 128
         x = (jnp.eye(n, dtype=t.dtype), jnp.zeros((n, n), t.dtype))
         col_idx = jnp.arange(n)
 
@@ -863,7 +1010,10 @@ def schur_eigen(q, t, split: bool = False):
                     jax.lax.dynamic_update_slice(x[1], xi[1][None, :],
                                                  (ii, _Z())))
 
-        x = jax.lax.fori_loop(0, n - 1, body, x)
+        if use_blocked:
+            x = _trevc_backsub_blocked(tc, lam, smallnum, bignum)
+        else:
+            x = jax.lax.fori_loop(0, n - 1, body, x)
 
         if not _REFINE:
             v = cpx.matmul(qc, x)
@@ -914,8 +1064,12 @@ def schur_eigen(q, t, split: bool = False):
             xs = (xs[0] * f, xs[1] * f)
             return y, xs
 
-        y0 = (jnp.zeros((n, n), t.dtype), jnp.zeros((n, n), t.dtype))
-        y, _ = jax.lax.fori_loop(0, n, ref_body, (y0, x))
+        if use_blocked:
+            y = _trevc_refine_blocked(tc, lam, smallnum, x)
+        else:
+            y0 = (jnp.zeros((n, n), t.dtype),
+                  jnp.zeros((n, n), t.dtype))
+            y, _ = jax.lax.fori_loop(0, n, ref_body, (y0, x))
         ynrm = jnp.sqrt(jnp.sum(cpx.abs2(y), axis=0))
         yinv = 1 / jnp.where(ynrm == 0, 1.0, ynrm)
         y = cpx.scale(y, yinv[None, :])

@@ -11,6 +11,7 @@ from .house_panel import house_panel
 from .jacobi_sweep import jacobi_sweeps
 from .rrqr_kernel import rrqr_kernel
 from .bulge_chase import bulge_chase_steps
+from .schur_small import schur_small
 
 __all__ = ["lu_panel", "house_panel", "jacobi_sweeps", "rrqr_kernel",
-           "bulge_chase_steps"]
+           "bulge_chase_steps", "schur_small"]
