@@ -125,7 +125,10 @@ def _make_kernel(W: int, max_iter: int):
             # -------- active window [lo, hi)
             sub2 = jnp.sum(jnp.where(subm, t, 0.0), axis=0,
                            keepdims=True)
-            nz = jnp.where(lk, False, sub2 != 0.0)
+            # logical ops only: jnp.where(lk, False, ...) broadcasts the
+            # scalar through an i8 intermediate whose i8→i1 trunci Mosaic
+            # cannot lower (found by the compiled-vs-interpret HW test)
+            nz = ~lk & (sub2 != 0.0)
             hi = jnp.max(jnp.where(nz, lane + 2, 0))
             lo = jnp.max(jnp.where((lane < hi - 1) & ~nz, lane + 1, 0))
             size2 = (hi - lo) == 2
