@@ -44,9 +44,16 @@ BASELINE target; v5e f32 roofline = peak_bf16/2, matching the measured
 import json
 import math
 import os
+import sys
 import time
 
 import jax
+
+
+def _progress(msg):
+    """Stderr progress breadcrumbs (stdout stays the single JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 # persistent compilation cache: the decomposition graphs trade XLA
 # compile time for runtime (unrolled recursion leaves fuse into fast
@@ -379,11 +386,14 @@ def bench_cfg5(results):
 def main():
     global FLOOR
     FLOOR = _null_roundtrip()
+    _progress(f"null roundtrip floor = {FLOOR*1e3:.1f} ms")
     _contention_guard()
+    _progress("contention guard passed")
     roofline = _roofline_f32_gflops()
     results = {}
     for fn in (bench_512_suite, bench_cfg1, bench_cfg2, bench_cfg3,
                bench_cfg4, bench_cfg5):
+        _progress(f"running {fn.__name__}")
         def attempt():
             """Run fn; return (all gates ok, entry names it added)."""
             before = set(results)
@@ -408,6 +418,11 @@ def main():
         if not added:   # fn died before recording anything
             results[f"FAILED_{fn.__name__}"] = dict(
                 sec=1.0, ok=False, recon=float("inf"), n=0, flops=1.0)
+        for k in added:
+            r = results.get(k)
+            if r:
+                _progress(f"  {k}: {r['sec']*1e3:.2f} ms/call "
+                          f"ok={r['ok']} recon={r['recon']:.3e}")
 
     scores = {}
     detail = []

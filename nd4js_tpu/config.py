@@ -18,10 +18,18 @@ import jax.numpy as jnp
 default_float = jnp.float32
 
 # Precision for library-internal matmuls/einsums. TPU's default matmul
-# precision is bfloat16-passes, which destroys dense-LA accuracy contracts
-# (residual 0.02 vs 6e-7 on a 64x64 triangular solve). 'highest' runs
-# float32-full on the MXU; the roofline we target is the f32 one.
-matmul_precision = "highest"
+# precision is a single bfloat16 pass, which destroys dense-LA accuracy
+# contracts (residual 0.02 vs 6e-7 on a 64x64 triangular solve; measured
+# 2.3e-3 relative GEMM error at 512²). The two safe settings on this
+# chip (v5e, measured 2026-08):
+#   'highest' — 6-pass bf16 emulation of full f32: 1.3e-7 relative GEMM
+#               error, ~30 TF.
+#   'high'    — 3-pass bf16 (bf16_3x): 1.2e-5 relative GEMM error,
+#               ~60 TF — 2× the GEMM throughput at ~20× margin under the
+#               library's 1e-5·‖A‖·√N reconstruction contracts.
+# Env-overridable (ND4JS_TPU_PREC) for A/B timing; *verification math in
+# tests/probes must stay at explicit "highest"* (CLAUDE.md).
+matmul_precision = os.environ.get("ND4JS_TPU_PREC", "highest")
 
 # When True, kernels run extra invariant checks (finite-ness, shape guards)
 # mirroring the reference's /*DEBUG*/ assertion density. Off by default:

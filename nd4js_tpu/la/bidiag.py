@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .. import config as _config
 from ..core.batch import batched
 from ..config import default_float_for
 from .hessenberg import _householder_vec
@@ -43,7 +44,7 @@ def _bidiag_core(a):
         def left(args):
             a, Vl, taul = args
             v, tau, _ = _householder_vec(a[:, j], j, rows)
-            w = tau * jnp.einsum("i,ik->k", v, a, precision="highest")
+            w = tau * jnp.einsum("i,ik->k", v, a, precision=_config.matmul_precision)
             a = a - jnp.outer(v, w)
             Vl = Vl.at[:, j].set(v)
             taul = taul.at[j].set(tau)
@@ -57,7 +58,7 @@ def _bidiag_core(a):
         def right(args):
             a, Vr, taur = args
             v, tau, _ = _householder_vec(a[j, :], j + 1, cols)
-            u = tau * jnp.einsum("ik,k->i", a, v, precision="highest")
+            u = tau * jnp.einsum("ik,k->i", a, v, precision=_config.matmul_precision)
             a = a - jnp.outer(u, v)
             Vr = Vr.at[:, j].set(v)
             taur = taur.at[j].set(tau)
@@ -76,7 +77,7 @@ def _bidiag_core(a):
         jj = nl - 1 - i
         v = Vl[:, jj]
         tau = taul[jj]
-        w = tau * jnp.einsum("i,ik->k", v, u, precision="highest")
+        w = tau * jnp.einsum("i,ik->k", v, u, precision=_config.matmul_precision)
         return u - jnp.outer(v, w)
 
     u = jnp.eye(M, K, dtype=a.dtype)
@@ -88,7 +89,7 @@ def _bidiag_core(a):
         jj = nr - 1 - i
         v = Vr[:, jj]
         tau = taur[jj]
-        w = tau * jnp.einsum("ik,k->i", vmat, v, precision="highest")
+        w = tau * jnp.einsum("ik,k->i", vmat, v, precision=_config.matmul_precision)
         return vmat - jnp.outer(w, v)
 
     vmat = jnp.eye(J, N, dtype=a.dtype)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .. import config as _config
 from ..core.mm import mm, mt
 from ..config import default_float_for
 from .tri import tril_solve, tril_t_solve
@@ -46,7 +47,7 @@ def _chol_base(a):
             lj = jnp.stack([r[..., j] for r in rows], axis=-1)   # (..., j)
             prev = jnp.stack(rows, axis=-1)                      # (..., n, j)
             acc = jnp.einsum("...nj,...j->...n", prev, lj,
-                             precision="highest")
+                             precision=_config.matmul_precision)
             col = a[..., :, j] - acc
             d = jnp.sqrt(col[..., j])
             rows.append(col / d[..., None])
@@ -67,7 +68,7 @@ def _inv_base(l):
         else:
             prev = jnp.stack(rows, axis=-2)              # (..., i, n)
             acc = jnp.einsum("...j,...jk->...k", l[..., i, :i], prev,
-                             precision="highest")
+                             precision=_config.matmul_precision)
             xi = (eye[i] - acc) / l[..., i, i, None]
         rows.append(xi)
     return jnp.stack(rows, axis=-2)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .. import config as _config
 from ..core.batch import batched
 from ..core.mm import mt
 from ..config import default_float_for
@@ -172,7 +173,7 @@ def eigh_tridiag_dc(a):
         return a[..., 0], jnp.ones_like(a)
     d, e, q = sytrd(a)
     w, v = tridiag_eigh_dc(d, e)
-    return w, jnp.matmul(q, v, precision="highest")
+    return w, jnp.matmul(q, v, precision=_config.matmul_precision)
 
 
 def eigh(a, max_sweeps: int = 30, method: str = "auto"):

@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .. import config as _config
 from ..core.batch import batched
 from ..core.mm import mm, mt
 from ..config import default_float_for
@@ -139,10 +140,10 @@ def _hessenberg_core(a):
         x = a[:, j]
         v, tau, _ = _householder_vec(x, j + 1, rows)
         # left:  A <- A - tau·v·(vᵀA)
-        w = tau * jnp.einsum("i,ik->k", v, a, precision="highest")
+        w = tau * jnp.einsum("i,ik->k", v, a, precision=_config.matmul_precision)
         a = a - jnp.outer(v, w)
         # right: A <- A - (A·v)·tau·vᵀ
-        u = tau * jnp.einsum("ik,k->i", a, v, precision="highest")
+        u = tau * jnp.einsum("ik,k->i", a, v, precision=_config.matmul_precision)
         a = a - jnp.outer(u, v)
         V = V.at[:, j].set(v)
         taus = taus.at[j].set(tau)
@@ -157,7 +158,7 @@ def _hessenberg_core(a):
         j = n - 3 - i
         v = V[:, j]
         tau = taus[j]
-        w = tau * jnp.einsum("i,ik->k", v, q, precision="highest")
+        w = tau * jnp.einsum("i,ik->k", v, q, precision=_config.matmul_precision)
         return q - jnp.outer(v, w)
 
     q = jax.lax.fori_loop(0, n - 2, qbody, jnp.eye(n, dtype=a.dtype))

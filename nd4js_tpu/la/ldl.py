@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .. import config as _config
 from ..core.mm import mm, mt
 from ..config import default_float_for
 from .tri import _tril_inv_core, tril_solve, tril_t_solve
@@ -37,7 +38,7 @@ def _ldl_base(a):
             lj = prev[..., j, :]                             # (..., j)
             dvec = jnp.stack(ds, axis=-1)                    # (..., j)
             acc = jnp.einsum("...nk,...k->...n", prev, lj * dvec,
-                             precision="highest")
+                             precision=_config.matmul_precision)
             col = a[..., :, j] - acc
             d = col[..., j]
             ds.append(d)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .. import config as _config
 from ..core.batch import batched
 from ..core.mm import mm, mt
 from ..config import default_float_for
@@ -64,7 +65,7 @@ def _householder_panel(p):
         tau = jnp.where(nrm == 0, jnp.zeros_like(beta),
                         (beta - x0) / safe_beta)
         # apply H = I - tau·v·vᵀ to the remaining panel columns
-        w = tau * jnp.einsum("ij,i->j", p, v, precision="highest")
+        w = tau * jnp.einsum("ij,i->j", p, v, precision=_config.matmul_precision)
         w = jnp.where(cols > j, w, 0)
         p = p - jnp.outer(v, w)
         # column j becomes beta·e_j (R part); rows above j keep R values
@@ -87,7 +88,7 @@ def _form_t(V, taus):
 
     def body(j, T):
         wj = W[:, j]
-        col = -taus[j] * jnp.einsum("ik,k->i", T, wj, precision="highest")
+        col = -taus[j] * jnp.einsum("ik,k->i", T, wj, precision=_config.matmul_precision)
         col = jnp.where(cols < j, col, 0)
         col = jnp.where(cols == j, taus[j], col)
         return T.at[:, j].set(col)

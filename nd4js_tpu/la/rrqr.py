@@ -25,6 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .. import config as _config
 from .. import dt
 from ..core.batch import batched
 from ..core.mm import mm, mt
@@ -72,7 +73,7 @@ def _rrqr_factor(a):
         v = jnp.where(rows[:, 0] == j, jnp.ones_like(x), v)
         safe_beta = jnp.where(beta == 0, jnp.ones_like(beta), beta)
         tau = jnp.where(nrm == 0, jnp.zeros_like(beta), (beta - x0) / safe_beta)
-        w = tau * jnp.einsum("ij,i->j", a, v, precision="highest")
+        w = tau * jnp.einsum("ij,i->j", a, v, precision=_config.matmul_precision)
         w = jnp.where(colv > j, w, 0)
         a = a - jnp.outer(v, w)
         newc = jnp.where(rows[:, 0] == j, beta, jnp.zeros_like(x))

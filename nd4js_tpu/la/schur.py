@@ -35,6 +35,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .. import config as _config
 from ..core.batch import batched
 from ..core.mm import mm, mt
 from ..config import default_float_for
@@ -115,14 +116,14 @@ _Z = lambda: jnp.zeros((), jnp.int32)
 def _apply_house3_rows(h, k, v, tau, zero3=False):
     """rows k..k+2 of h ← (I − tau·v·vᵀ)·rows. v: (3,)."""
     rows = jax.lax.dynamic_slice(h, (_i32(k), _Z()), (3, h.shape[1]))
-    w = tau * jnp.matmul(v, rows, precision="highest")
+    w = tau * jnp.matmul(v, rows, precision=_config.matmul_precision)
     rows = rows - v[:, None] * w[None, :]
     return jax.lax.dynamic_update_slice(h, rows, (_i32(k), _Z()))
 
 
 def _apply_house3_cols(h, k, v, tau):
     cols = jax.lax.dynamic_slice(h, (_Z(), _i32(k)), (h.shape[0], 3))
-    w = tau * jnp.matmul(cols, v, precision="highest")
+    w = tau * jnp.matmul(cols, v, precision=_config.matmul_precision)
     cols = cols - w[:, None] * v[None, :]
     return jax.lax.dynamic_update_slice(h, cols, (_Z(), _i32(k)))
 
@@ -188,13 +189,13 @@ def _chase_multishift(hp, qp, lo, hi, trs, dets, W: int, NB: int, n: int):
             v, P = chase(b, P, shifts, lo + _i32(s) * SL, lo, hi,
                          sl=SL, seed=seed)
             rows = jax.lax.dynamic_slice(hp, (w0, _Z()), (W, npad))
-            rows = jnp.einsum("ij,ik->jk", v, rows, precision="highest")
+            rows = jnp.einsum("ij,ik->jk", v, rows, precision=_config.matmul_precision)
             hp = jax.lax.dynamic_update_slice(hp, rows, (w0, _Z()))
             cols = jax.lax.dynamic_slice(hp, (_Z(), w0), (npad, W))
-            cols = jnp.einsum("ij,jk->ik", cols, v, precision="highest")
+            cols = jnp.einsum("ij,jk->ik", cols, v, precision=_config.matmul_precision)
             hp = jax.lax.dynamic_update_slice(hp, cols, (_Z(), w0))
             qc = jax.lax.dynamic_slice(qp, (_Z(), w0), (npad, W))
-            qc = jnp.einsum("ij,jk->ik", qc, v, precision="highest")
+            qc = jnp.einsum("ij,jk->ik", qc, v, precision=_config.matmul_precision)
             qp = jax.lax.dynamic_update_slice(qp, qc, (_Z(), w0))
             return hp, qp, P
 
@@ -310,26 +311,26 @@ def _aed(h, q, locked, lo, hi, AW: int, NS: int, eps, schur_small):
             # column c of [spike | T_w] may keep rows ≤ c (its H column
             # is w0−1+c): compress rows [c, aw−d) into row c
             v, tau = _house_seg(mloc[:, c], c, aw - d, aw)
-            wr = tau * jnp.matmul(v, mloc, precision="highest")
+            wr = tau * jnp.matmul(v, mloc, precision=_config.matmul_precision)
             mloc = mloc - v[:, None] * wr[None, :]
             mw = mloc[:, 1:]
-            wc = tau * jnp.matmul(mw, v, precision="highest")
+            wc = tau * jnp.matmul(mw, v, precision=_config.matmul_precision)
             mw = mw - wc[:, None] * v[None, :]
             mloc = jnp.concatenate([mloc[:, :1], mw], axis=1)
             z = z - tau * jnp.outer(
-                jnp.matmul(z, v, precision="highest"), v)
+                jnp.matmul(z, v, precision=_config.matmul_precision), v)
             return mloc, z
 
         mloc, z = jax.lax.fori_loop(0, aw - 1, red, (mloc, z0))
         u = mm(qw, z)                        # total window transform
         rows = jax.lax.dynamic_slice(h, (w0, _Z()), (aw, npad))
-        rows = jnp.einsum("ij,ik->jk", u, rows, precision="highest")
+        rows = jnp.einsum("ij,ik->jk", u, rows, precision=_config.matmul_precision)
         h = jax.lax.dynamic_update_slice(h, rows, (w0, _Z()))
         cols = jax.lax.dynamic_slice(h, (_Z(), w0), (npad, aw))
-        cols = jnp.einsum("ij,jk->ik", cols, u, precision="highest")
+        cols = jnp.einsum("ij,jk->ik", cols, u, precision=_config.matmul_precision)
         h = jax.lax.dynamic_update_slice(h, cols, (_Z(), w0))
         qc = jax.lax.dynamic_slice(q, (_Z(), w0), (npad, aw))
-        qc = jnp.einsum("ij,jk->ik", qc, u, precision="highest")
+        qc = jnp.einsum("ij,jk->ik", qc, u, precision=_config.matmul_precision)
         q = jax.lax.dynamic_update_slice(q, qc, (_Z(), w0))
         # commit: the spike column with its deflated tail zeroed
         h = jax.lax.dynamic_update_slice(h, mloc[:, :1], (w0, w0 - 1))
@@ -391,8 +392,8 @@ def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
         cs = jnp.where(real, cs, 1.0)
         sn = jnp.where(real, sn, 0.0)
         g = jnp.stack([jnp.stack([cs, -sn]), jnp.stack([sn, cs])])
-        t = jnp.matmul(jnp.matmul(mt(g), a, precision="highest"), g,
-                       precision="highest")
+        t = jnp.matmul(jnp.matmul(mt(g), a, precision=_config.matmul_precision), g,
+                       precision=_config.matmul_precision)
         t = jnp.where(real, t.at[1, 0].set(0.0), t)
         return t, g
     h, q = _hessenberg_core(a)

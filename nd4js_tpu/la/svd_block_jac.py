@@ -27,6 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .. import config as _config
 from ..core.batch import batched
 from ..core.mm import mm, mt
 from ..config import default_float_for
@@ -137,12 +138,12 @@ def _svd_blocked_core(a3, block: int = 64, outer_sweeps: int = 10,
                 wp = jnp.moveaxis(wp, 2, 1)        # (Bn, npair, N, 2b)
                 vp = jnp.moveaxis(vp, 2, 1)
                 g = jnp.einsum("bpmi,bpmj->bpij", wp, wp,
-                               precision="highest")
+                               precision=_config.matmul_precision)
                 phi = _inner_rotation_sweep(g, sweeps=inner_sweeps)
                 wp = jnp.einsum("bpmi,bpij->bpmj", wp, phi,
-                                precision="highest")
+                                precision=_config.matmul_precision)
                 vp = jnp.einsum("bpmi,bpij->bpmj", vp, phi,
-                                precision="highest")
+                                precision=_config.matmul_precision)
                 wp = jnp.moveaxis(wp, 1, 2).reshape(Bn, N, npair * 2 * b)
                 vp = jnp.moveaxis(vp, 1, 2).reshape(Bn, n_work,
                                                     npair * 2 * b)

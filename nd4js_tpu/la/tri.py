@@ -22,6 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .. import config as _config
 from ..core.batch import batched
 from ..core.mm import mm
 
@@ -127,7 +128,7 @@ def _tril_solve_scan(L, y):
 
     def body(x, i):
         li = jax.lax.dynamic_slice_in_dim(L, i, 1, axis=0)[0]      # (n,)
-        acc = jnp.matmul(li, x, precision="highest")               # (k,)
+        acc = jnp.matmul(li, x, precision=_config.matmul_precision)               # (k,)
         yi = jax.lax.dynamic_slice_in_dim(y, i, 1, axis=0)[0]
         xi = (yi - acc) / li[i]
         x = jax.lax.dynamic_update_slice_in_dim(x, xi[None, :], i, axis=0)
