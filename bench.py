@@ -250,8 +250,10 @@ def bench_cfg2(results):
     y = jax.random.normal(jax.random.PRNGKey(4), (B, N, 1), jnp.float32)
 
     def go(s):
-        lu, p = la.lu_decomp(s)
-        xl = la.lu_solve(lu, p, y)
+        # partial-pivot LU factor+solve fused in ONE Pallas launch
+        # (ops/lu_panel.py::lu_gesv — the split decomp+solve path costs
+        # 15.7 ms here: 6.8 factor incl. packing gathers + 8.8 solve)
+        xl = la.lu_solve_fused(s, y)
         # the fused-inverse path: L⁻¹ falls out of the decomposition
         # recursion, making the solve two GEMMs (VERDICT r2 next #1)
         L, Li = la.cholesky_decomp(s, inv=True)
@@ -365,19 +367,24 @@ def bench_cfg5(results):
                                             max_iter=40)
         z, fz, gz, itz = opt.lbfgs_minimize(
             jax.value_and_grad(rosen), z0, max_iter=800)
-        return p, mse, z, fz
+        # scalar anchor folding every output: jax.block_until_ready is
+        # a silent NO-OP through the axon relay (measured 0.0 ms vs
+        # 309 ms real wall on a 64×4096³ GEMM chain) — a host float()
+        # transfer is the only honest fence on this backend
+        anchor = (jnp.sum(jnp.abs(p)) + mse + jnp.sum(jnp.abs(z)) + fz)
+        return p, mse, z, fz, anchor
 
     g = jax.jit(go)
-    p, mse, z, fz = g(0)
-    jax.block_until_ready((p, mse, z, fz))
+    p, mse, z, fz, anchor = g(0)
+    float(anchor)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         out = g(0)
-        jax.block_until_ready(out)
+        float(out[-1])
         best = min(best, time.perf_counter() - t0)
     t = max(best - FLOOR, 1e-9)
-    p, mse, z, fz = out
+    p, mse, z, fz, _anchor = out
     ok = bool((_maxabs(p - p_true) < 0.05) & (float(fz) < 1e-4))
     results["cfg5_odr_lbfgs"] = dict(sec=t, ok=ok, recon=float(mse),
                                      n=1, flops=None)

@@ -9,7 +9,7 @@ from .permute import (permute_rows, permute_cols, unpermute_rows,
 from .matmul import matmul, matmul2
 from .tri import (tril, triu, tri_inv, tril_solve, triu_solve,
                   tril_t_solve, triu_t_solve)
-from .lu import lu_decomp, lu_solve
+from .lu import lu_decomp, lu_solve, lu_solve_fused
 from .qr import (qr_decomp, qr_decomp_full, qr_lstsq, qr_solve,
                  qr_lstsq_fused)
 from .rrqr import (rrqr_decomp, rrqr_decomp_full, rrqr_rank,

@@ -32,7 +32,7 @@ from ..config import default_float_for
 from ..ops.lu_panel import lu_panel
 from .tri import _tril_inv_core
 
-__all__ = ["lu_decomp", "lu_solve"]
+__all__ = ["lu_decomp", "lu_solve", "lu_solve_fused"]
 
 _PANEL = 128
 
@@ -91,6 +91,44 @@ def lu_decomp(a):
     flat = a.reshape((max(1, math.prod(lead)), m, n))
     lu, p = _lu_core_batched(flat)
     return lu.reshape(lead + (m, n)), p.reshape(lead + (m,))
+
+
+def lu_solve_fused(a, y):
+    """Solve A @ x = y by partial-pivot LU, factor+solve fused in ONE
+    Pallas launch (ops/lu_panel.py::lu_gesv): the RHS rides the
+    elimination as appended columns (forward substitution is free) and
+    back substitution runs in-kernel in the virtual-pivot layout — no
+    LAPACK packing gathers, no separate substitution op chains.
+
+    Semantics match ``lu_solve(*lu_decomp(a), y)`` (ref: lu.js:24-177);
+    use this when the factorisation is not needed separately. Square
+    systems with N ≤ 128 take the fused kernel; larger N falls back to
+    decomp+solve. Leading dims broadcast."""
+    from ..ops.lu_panel import lu_gesv
+    a = jnp.asarray(a)
+    a = a.astype(default_float_for(a.dtype))
+    y = jnp.asarray(y).astype(a.dtype)
+    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+        raise ValueError("lu_solve_fused expects square (..., N, N)")
+    squeeze = y.ndim == 1 or y.ndim == a.ndim - 1
+    if squeeze:
+        y = y[..., None]
+    n = a.shape[-1]
+    lead = jnp.broadcast_shapes(a.shape[:-2], y.shape[:-2])
+    a = jnp.broadcast_to(a, lead + a.shape[-2:])
+    y = jnp.broadcast_to(y, lead + y.shape[-2:])
+    if n > _PANEL:
+        lu, p = lu_decomp(a)
+        x = lu_solve(lu, p, y)
+        return x[..., 0] if squeeze else x
+    k = y.shape[-1]
+    flat_a = a.reshape((max(1, math.prod(lead)), n, n))
+    flat_y = y.reshape((max(1, math.prod(lead)), n, k))
+    x = lu_gesv(flat_a, flat_y, interpret=_use_interpret())
+    x = x.reshape(lead + (n, k))
+    from ..core.debug import dcheck_finite
+    dcheck_finite(x, "lu_solve_fused x")
+    return x[..., 0] if squeeze else x
 
 
 def lu_solve(lu, p, y):

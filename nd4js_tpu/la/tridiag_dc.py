@@ -118,11 +118,20 @@ def _merge(w1, v1, w2, v2, beta, dtype):
     delta = dd[None, :] - dd[:, None]                # (i, j): ddⱼ − ddᵢ
     num = delta + mu[None, :]                        # λⱼ − ddᵢ
     eye = jnp.eye(n, dtype=bool)
-    den = jnp.where(eye, 1.0, delta)
+    # guard Δ = 0 (duplicates whose jitter underflowed at scale ≈ 0):
+    # 0/0 here would poison even the trivially-merged branch via NaN
+    safe_delta = jnp.where(delta == 0, jnp.finfo(dtype).tiny, delta)
+    den = jnp.where(eye, 1.0, safe_delta)
     ratio = jnp.where(eye, num, num / den)
     log_z2 = jnp.sum(jnp.log(jnp.abs(ratio)
                              + jnp.finfo(dtype).tiny), axis=1) \
         - jnp.log(rho_s)
+    # a COMMON shift of log_z2 rescales every ẑᵢ by the same factor,
+    # which cancels in the column normalisation below — it exists only
+    # to keep exp/u²/Σu² inside the dtype range when ρ → 0 (a pad seam
+    # or a negligible coupling drives log_z2 toward −log ρ ≈ +∞ and the
+    # normalisation Σu² used to overflow to inf → zero columns)
+    log_z2 = log_z2 - jnp.max(log_z2)
     z_hat = jnp.exp(0.5 * log_z2)
     z_hat = z_hat * jnp.where(zz == 0, 1.0, jnp.sign(zz))
     # eigenvectors: u[i, r] = ẑᵢ / (ddᵢ − λᵣ) with
@@ -130,7 +139,19 @@ def _merge(w1, v1, w2, v2, beta, dtype):
     dmat = delta.T - mu[None, :]                     # (i, r)
     safe = jnp.where(dmat == 0, jnp.finfo(dtype).tiny, dmat)
     u = z_hat[:, None] / safe
+    # two-stage normalisation (max, then 2-norm): overflow-free for any
+    # ẑ/μ dynamic range
+    umax = jnp.max(jnp.abs(u), axis=0, keepdims=True)
+    u = u / jnp.where(umax == 0, 1.0, umax)
     u = u / jnp.sqrt(jnp.sum(u * u, axis=0, keepdims=True))
+    # a numerically-zero coupling (ρ·Σz² below eps²·scale — e.g. the
+    # decoupled pad seam of the level-batched driver) merges trivially:
+    # eigenvalues stay dd, eigenvectors stay the sorted identity. The
+    # RAW ρ (not the tiny-floored rho_s) keeps the β = 0 case exact
+    # even when scale itself underflows (an all-zero block: 0 ≤ 0)
+    trivial = jnp.abs(rho) * jnp.sum(z * z) <= (eps * scale) ** 2
+    lam = jnp.where(trivial, dd, lam)
+    u = jnp.where(trivial, jnp.eye(n, dtype=dtype), u)
     lam_out = jnp.where(neg, -lam, lam)
     inv = jnp.argsort(order)
     u_unsorted = u[inv, :]
@@ -154,9 +175,73 @@ def _tdc(d, e):
     return _merge(w1, v1, w2, v2, beta, d.dtype)
 
 
-def tridiag_eigh_dc(d, e):
+def _tdc_level_batched(d, e, base: int = _BASE):
+    """Level-batched Cuppen D&C: pad T to M = base·2^L (appending
+    decoupled, above-spectrum diagonal entries), apply ALL split
+    corrections up front (each junction touches two d entries, and
+    junctions are ≥ base apart so they never collide), solve every leaf
+    in ONE batched Jacobi call, then run ONE vmapped merge per level —
+    L+1 traced calls instead of 2^L leaf + (2^L − 1) merge traces.
+    Zero-β junctions (the pad seam) degenerate gracefully: with ρ → 0⁺
+    the shifted secular roots collapse to μ ≈ 0 and the Gu-Eisenstat
+    product formula yields u → I, i.e. the trivial merge — no branch
+    needed."""
+    from .eigh import eigh_jacobi
+    n = d.shape[0]
+    dt = d.dtype
+    if n <= base:
+        return _base_eigh(d, e)
+    nleaf = -(-n // base)
+    L = max(0, (nleaf - 1).bit_length())
+    M = base << L
+    if M > n:
+        # decoupled pads strictly above the Gershgorin bound, pairwise
+        # distinct at every scale (the absolute term covers T == 0)
+        bound = jnp.max(jnp.abs(d)) + 2 * jnp.max(jnp.abs(e))
+        ar = jnp.arange(1, M - n + 1, dtype=dt)
+        pads = bound * (1.25 + ar / 8) + ar
+        d = jnp.concatenate([d, pads])
+        e = jnp.concatenate([e, jnp.zeros((M - n,), dt)])
+    e_in = jnp.concatenate([e, jnp.zeros((1,), dt)])        # length M
+    P0 = M // base
+    junc = base * jnp.arange(1, P0)
+    betas = e_in[junc - 1]
+    d = d.at[junc - 1].add(-betas).at[junc].add(-betas)
+    dl = d.reshape(P0, base)
+    el = e_in.reshape(P0, base)[:, :base - 1]
+    tl = jax.vmap(_dense_tridiag)(dl, el)
+    w, v = eigh_jacobi(tl)                 # (P0, base), (P0, base, base)
+    m = base
+    while m < M:
+        P = M // (2 * m)
+        w = w.reshape(P, 2, m)
+        v = v.reshape(P, 2, m, m)
+        beta = e_in[jnp.arange(P) * 2 * m + m - 1]
+        w, v = jax.vmap(
+            lambda w1, v1, w2, v2, b: _merge(w1, v1, w2, v2, b, dt))(
+                w[:, 0], v[:, 0], w[:, 1], v[:, 1], beta)
+        m *= 2
+    w, v = w[0], v[0]
+    if M > n:
+        # pads sit strictly above the real spectrum: ascending sort puts
+        # them in the last M − n columns, and their rows are inert
+        w, v = w[:n], v[:n, :n]
+    return w, v
+
+
+def tridiag_eigh_dc(d, e, method: str = "batched"):
     """Eigendecomposition of the symmetric tridiagonal (diag d, offdiag
-    e): T = V·diag(w)·Vᵀ, w ascending. Core 2-D (vmap for batches)."""
+    e): T = V·diag(w)·Vᵀ, w ascending. Core 2-D (vmap for batches).
+
+    method: 'batched' (default — level-batched merges, one traced call
+    per D&C level) or 'recursive' (per-merge traces; the accuracy
+    reference for tests)."""
     d = jnp.asarray(d)
     e = jnp.asarray(e)
+    # below ~4 leaves the level-batching buys nothing and its padding
+    # adds eps-scale noise that degenerate-input contracts at tight f64
+    # tolerances can see (measured 5.0e-13 vs a 3.3e-13 gate at n=22) —
+    # small problems keep the per-merge recursion
+    if method == "batched" and d.shape[0] > 64:
+        return _tdc_level_batched(d, e)
     return _tdc(d, e)

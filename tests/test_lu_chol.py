@@ -119,3 +119,38 @@ def test_ldl_solve():
     L, d = la.ldl_decomp(a)
     x = la.ldl_solve(L, d, y)
     assert_all_close(a @ np.asarray(x), y, rtol=1e-8, atol=1e-8)
+
+
+def test_lu_solve_fused():
+    # fused gesv kernel == decomp+solve (ref: lu.js:24-177)
+    rng = TestRNG("lu_gesv")
+    for n, k in [(4, 1), (16, 2), (64, 3), (128, 1), (128, 8)]:
+        a = rng.matrix(2, n, n)
+        y = rng.matrix(2, n, k)
+        x = la.lu_solve_fused(a, y)
+        assert x.shape == (2, n, k)
+        assert_all_close(np.einsum("bij,bjk->bik", a, np.asarray(x)), y,
+                         rtol=1e-7, atol=1e-7, err_msg=f"n={n} k={k}")
+
+
+def test_lu_solve_fused_matches_split_and_edge_cases():
+    rng = TestRNG("lu_gesv_edge")
+    # pivoting required
+    a = np.array([[0.0, 1.0], [1.0, 0.0]])
+    y = np.array([[1.0], [2.0]])
+    x = la.lu_solve_fused(a, y)
+    assert_all_close(a @ np.asarray(x), y, atol=1e-12)
+    # 1-D rhs squeeze + broadcasting over leading dims
+    a = rng.matrix(3, 24, 24)
+    y1 = rng.matrix(24)
+    x1 = la.lu_solve_fused(a, y1)
+    assert x1.shape == (3, 24)
+    # singular input -> non-finite (matching lu_solve semantics)
+    a0 = np.zeros((8, 8))
+    x0 = la.lu_solve_fused(a0, np.ones((8, 1)))
+    assert not bool(np.all(np.isfinite(np.asarray(x0))))
+    # N > 128 falls back to decomp+solve
+    a = rng.matrix(160, 160)
+    y = rng.matrix(160, 2)
+    x = la.lu_solve_fused(a, y)
+    assert_all_close(a @ np.asarray(x), y, rtol=1e-7, atol=1e-7)
