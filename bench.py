@@ -176,7 +176,7 @@ def bench_512_suite(results):
     results["qr"] = dict(sec=t, ok=recon <= tol, recon=recon, n=B,
                          flops=8 / 3 * N ** 3 * B)
 
-    t, (lu, p) = _amortized(la.lu_decomp, a, iters=32)
+    t, (lu, p) = _amortized(la.lu_decomp, a, iters=64)
     L = jnp.tril(lu, -1) + jnp.eye(N, dtype=lu.dtype)
     U = jnp.triu(lu)
     ap = jnp.take_along_axis(a, p[..., None], axis=-2)
@@ -216,12 +216,15 @@ def bench_cfg1(results):
         # separate Qᵀ·y (ref: qr.js:148-183 _qr_decomp_inplace)
         return la.qr_lstsq_fused(a, y)
 
+    # 512-deep chain: at ~165 µs/call the in-graph work must dwarf the
+    # relay's ±5 ms round-trip jitter (a 128-chain = 20 ms in-graph
+    # measured anywhere between 82 and 194 µs/call — pure noise)
     def chain(ay):
         a, y = ay
         def body(c, _):
             x = qr_lstsq((c, y))
             return c + (0.0 * jnp.sum(jnp.abs(x))).astype(c.dtype), None
-        c, _ = jax.lax.scan(body, a, None, length=128)
+        c, _ = jax.lax.scan(body, a, None, length=512)
         return jnp.abs(c).max(), qr_lstsq((c, y))
 
     g = jax.jit(chain)
@@ -233,7 +236,7 @@ def bench_cfg1(results):
         anchor, x = g((a, y))
         float(anchor)
         best = min(best, time.perf_counter() - t0)
-    t = max((best - FLOOR) / 129, 1e-9)
+    t = max((best - FLOOR) / 513, 1e-9)
     resid = _maxabs(jnp.matmul(a, x, precision="highest") - y)
     ok = resid <= 1e-4 * _maxabs(a) * N ** 0.5  # square solve residual
     results["cfg1_qr_lstsq_256"] = dict(

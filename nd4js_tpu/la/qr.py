@@ -441,6 +441,17 @@ def qr_lstsq_fused(a, y):
     a = jnp.broadcast_to(a, lead + (M, N))
     y = jnp.broadcast_to(y, lead + (M, L))
     Bn = max(1, _math.prod(lead))
+    if M == N and N <= 256:
+        # square systems up to 256²: the ENTIRE workload (factor, Qᵀy,
+        # back substitution) runs in ONE Pallas launch
+        # (ops/house_stripe.py::qr_gesv) — the panel/T/trailing/solve
+        # op chain below is pure dispatch overhead at this size
+        from ..ops.house_stripe import qr_gesv
+        x = qr_gesv(a.reshape((Bn, M, N)), y.reshape((Bn, M, L)),
+                    interpret=_use_interpret())
+        from ..core.debug import dcheck_finite
+        dcheck_finite(x, "qr_lstsq_fused x")
+        return x.reshape(lead + (N, L))
     aug = jnp.concatenate([a.reshape((Bn, M, N)),
                            y.reshape((Bn, M, L))], axis=-1)
     r, _ = _qr_factor_batched(aug, kmax=N)

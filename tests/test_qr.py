@@ -114,3 +114,41 @@ def test_qr_lstsq_fused():
     y = rng.matrix(10, 2)
     with pytest.raises(ValueError):
         la.qr_lstsq_fused(jnp.asarray(a), jnp.asarray(y))
+
+
+def test_house_stripe_t_matches_house_panel():
+    """The transposed stripe-WY panel kernel (ops/house_stripe.py) must
+    be a drop-in for ops/house_panel.py::house_panel — same (R, V, tau)
+    up to roundoff reassociation."""
+    import jax
+    import jax.numpy as jnp
+    from nd4js_tpu.ops.house_panel import house_panel
+    from nd4js_tpu.ops.house_stripe import house_stripe_t
+    rng = TestRNG("house_stripe")
+    for (b, m, w) in [(2, 200, 64), (1, 128, 128), (3, 96, 24),
+                      (2, 64, 17)]:
+        a = jnp.asarray(rng.matrix(b, m, w))
+        r1, v1, t1 = house_stripe_t(a, interpret=True)
+        r0, v0, t0 = house_panel(a, interpret=True)
+        sc = max(1.0, float(jnp.abs(r0).max()))
+        assert float(jnp.abs(r1 - r0).max()) < 1e-12 * sc, (b, m, w)
+        assert float(jnp.abs(v1 - v0).max()) < 1e-12 * 10, (b, m, w)
+        assert float(jnp.abs(t1 - t0).max()) < 1e-12 * 10, (b, m, w)
+
+
+def test_qr_gesv_fused_kernel():
+    """One-launch square QR solve (factor + Qᵀy + back substitution in
+    VMEM): residual contract + agreement with the split path."""
+    import jax.numpy as jnp
+    from nd4js_tpu.ops.house_stripe import qr_gesv
+    rng = TestRNG("qr_gesv")
+    for (b, n, k) in [(2, 64, 4), (1, 250, 3), (3, 130, 1)]:
+        a = rng.matrix(b, n, n) + 3 * np.eye(n)
+        y = rng.matrix(b, n, k)
+        x = qr_gesv(jnp.asarray(a), jnp.asarray(y), interpret=True)
+        resid = np.abs(a @ np.asarray(x) - y).max()
+        assert resid < 1e-10 * np.abs(a).max() * n ** 0.5, (b, n, k)
+        q, r = la.qr_decomp(jnp.asarray(a))
+        x_ref = np.asarray(la.qr_lstsq(q, r, jnp.asarray(y)))
+        assert np.abs(np.asarray(x) - x_ref).max() < 1e-8 * max(
+            1, np.abs(x_ref).max()), (b, n, k)

@@ -61,8 +61,14 @@ print(json.dumps({"n": n, "sec": best, "resid": resid, "ok": ok,
 
 def main():
     sizes = [int(x) for x in sys.argv[1:]] or [512, 1024]
-    grid = [(8, 24, 4), (8, 32, 4), (8, 48, 4), (12, 32, 4),
-            (12, 48, 4), (16, 48, 4), (8, 24, 2), (8, 32, 8)]
+    # LAPACK dlaqr0 at n=1024 runs NS=64 shifts with a ~96 AED window;
+    # the W=128 chase window bounds the train at 3·NB ≤ ~72 (SL must
+    # stay positive with slack), so the sweep covers NB up to 24
+    grid = [(8, 24, 4), (16, 48, 4), (16, 64, 4), (20, 64, 4),
+            (24, 72, 4), (24, 96, 4), (16, 48, 2), (16, 64, 8)]
+    if os.environ.get("TUNE_GRID") == "small":
+        grid = [(8, 24, 4), (8, 32, 4), (8, 48, 4), (12, 32, 4),
+                (12, 48, 4), (16, 48, 4), (8, 24, 2), (8, 32, 8)]
     results = []
     for n, (nb, sw, nib) in itertools.product(sizes, grid):
         env = dict(os.environ,
