@@ -144,3 +144,42 @@ def test_schur_eigen_f32_mxu_size():
     resid = np.sqrt(er ** 2 + ei ** 2)
     gate = 1e-4 * np.abs(a).max() * n ** 0.5
     assert resid.max() <= gate, (resid.max(), gate)
+
+
+def test_trevc_kernel_matches_blocked():
+    """The one-launch TREVC kernel (ops/trevc_solve.py) must match the
+    blocked XLA backward substitution up to column scaling (columns are
+    defined up to scale; the consumer normalizes)."""
+    import jax
+    import jax.numpy as jnp
+    from nd4js_tpu.la.schur import _trevc_backsub_blocked
+    from nd4js_tpu.ops.trevc_solve import trevc_solve
+    n = 192
+    key = jax.random.PRNGKey(0)
+    tre = jnp.triu(jax.random.normal(key, (n, n), jnp.float64))
+    tim = jnp.triu(jax.random.normal(jax.random.PRNGKey(1), (n, n),
+                                     jnp.float64))
+    # include a defective cluster: three equal diagonal entries
+    tre = tre.at[10, 10].set(tre[5, 5])
+    tre = tre.at[70, 70].set(tre[5, 5])
+    tim = tim.at[10, 10].set(tim[5, 5])
+    tim = tim.at[70, 70].set(tim[5, 5])
+    lam = (jnp.diagonal(tre), jnp.diagonal(tim))
+    eps = float(jnp.finfo(jnp.float64).eps)
+    tnorm = float(jnp.sqrt(jnp.sum(tre * tre + tim * tim)))
+    smallnum = eps * tnorm + float(jnp.finfo(jnp.float64).tiny)
+    bignum = float(np.sqrt(np.finfo(np.float64).max) / n)
+    xr = _trevc_backsub_blocked((tre, tim), lam, smallnum, bignum)
+    xk = trevc_solve(tre, tim, lam[0], lam[1], smallnum, bignum,
+                     interpret=True)
+
+    def norml(x):
+        nrm = np.sqrt((np.asarray(x[0]) ** 2
+                       + np.asarray(x[1]) ** 2).sum(0))
+        nrm = np.where(nrm == 0, 1, nrm)
+        return np.asarray(x[0]) / nrm, np.asarray(x[1]) / nrm
+
+    r0, i0 = norml(xr)
+    r1, i1 = norml(xk)
+    assert np.abs(r1 - r0).max() < 1e-10
+    assert np.abs(i1 - i0).max() < 1e-10

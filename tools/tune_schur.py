@@ -55,26 +55,32 @@ ok = resid <= 16 * float(jnp.finfo(jnp.float32).eps) * n \
 print(json.dumps({"n": n, "sec": best, "resid": resid, "ok": ok,
                   "NB": os.environ.get("ND4JS_TPU_SCHUR_NB"),
                   "SW": os.environ.get("ND4JS_TPU_SCHUR_SW"),
-                  "NIB": os.environ.get("ND4JS_TPU_SCHUR_NIBBLE")}))
+                  "NIB": os.environ.get("ND4JS_TPU_SCHUR_NIBBLE"),
+                  "W": os.environ.get("ND4JS_TPU_SCHUR_W")}))
 """
 
 
 def main():
     sizes = [int(x) for x in sys.argv[1:]] or [512, 1024]
-    # LAPACK dlaqr0 at n=1024 runs NS=64 shifts with a ~96 AED window;
-    # the W=128 chase window bounds the train at 3·NB ≤ ~72 (SL must
-    # stay positive with slack), so the sweep covers NB up to 24
-    grid = [(8, 24, 4), (16, 48, 4), (16, 64, 4), (20, 64, 4),
-            (24, 72, 4), (24, 96, 4), (16, 48, 2), (16, 64, 8)]
+    # grid entries: (NB, SW, NIBBLE, W). The dominant wall-clock term
+    # is (position steps per sweep) × (per-step kernel latency) ×
+    # (sweeps ≈ n/2NB) — more shifts with a BIGGER chase window W cuts
+    # sweeps without inflating slide count (measured: NB=16 at W=128
+    # LOSES because SL = W − 3NB shrinks; see BENCH notes r3)
+    grid = [(8, 24, 4, 128), (16, 48, 4, 192), (16, 48, 4, 256),
+            (24, 72, 4, 256), (24, 96, 4, 256), (32, 96, 4, 256),
+            (16, 48, 4, 128), (24, 72, 4, 192)]
     if os.environ.get("TUNE_GRID") == "small":
-        grid = [(8, 24, 4), (8, 32, 4), (8, 48, 4), (12, 32, 4),
-                (12, 48, 4), (16, 48, 4), (8, 24, 2), (8, 32, 8)]
+        grid = [(8, 24, 4, 128), (8, 32, 4, 128), (8, 48, 4, 128),
+                (12, 32, 4, 128), (12, 48, 4, 128), (16, 48, 4, 128),
+                (8, 24, 2, 128), (8, 32, 8, 128)]
     results = []
-    for n, (nb, sw, nib) in itertools.product(sizes, grid):
+    for n, (nb, sw, nib, w) in itertools.product(sizes, grid):
         env = dict(os.environ,
                    ND4JS_TPU_SCHUR_NB=str(nb),
                    ND4JS_TPU_SCHUR_SW=str(sw),
                    ND4JS_TPU_SCHUR_NIBBLE=str(nib),
+                   ND4JS_TPU_SCHUR_W=str(w),
                    TUNE_N=str(n))
         p = subprocess.run([sys.executable, "-c", _CHILD], env=env,
                            capture_output=True, text=True, timeout=1800,
@@ -96,7 +102,7 @@ def main():
         if rows:
             b = rows[0]
             print(f"# best n={n}: NB={b['NB']} SW={b['SW']} "
-                  f"NIB={b['NIB']}  {b['sec']*1e3:.1f} ms")
+                  f"NIB={b['NIB']} W={b.get('W')}  {b['sec']*1e3:.1f} ms")
 
 
 if __name__ == "__main__":
