@@ -22,6 +22,8 @@ which makes eigh(method='dc') GEMM/DC-bound instead of reduction-bound.
 """
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +32,11 @@ from ..core.mm import mm, mt
 __all__ = ["sytrd"]
 
 _PANEL = 64
+
+# The Pallas panel kernel (ops/sytrd_panel.py) keeps the trailing block
+# VMEM-resident across the whole panel; the XLA fori fallback
+# (ND4JS_TPU_SYTRD_KERNEL=0, read at trace time) is the
+# equivalence-test reference.
 
 
 def _sytrd_panel(c, bk: int):
@@ -92,17 +99,28 @@ def sytrd(a, panel: int = _PANEL):
     if n == 2:
         return (jnp.diagonal(a), jnp.diagonal(a, -1),
                 jnp.eye(2, dtype=a.dtype))
+    use_kernel = _os.environ.get("ND4JS_TPU_SYTRD_KERNEL", "1") != "0"
+    interp = jax.default_backend() == "cpu"
     ds, es, vts = [], [], []
     c = a
     for k in range(0, n - 1, panel):
         bk = min(panel, n - 1 - k)
-        V, W, taus, dd, ee = _sytrd_panel(c, bk)
+        if use_kernel:
+            from ..ops.sytrd_panel import sytrd_panel
+            cup, V, W, taus, dd, ee = sytrd_panel(
+                c[None], bk, interpret=interp)
+            cup, V, W = cup[0], V[0], W[0]
+            taus, dd, ee = taus[0], dd[0], ee[0]
+            c = cup[bk:, bk:]
+        else:
+            V, W, taus, dd, ee = _sytrd_panel(c, bk)
+            # rank-2b two-sided update of the next trailing block
+            c = c[bk:, bk:] - mm(V[bk:], mt(W[bk:])) \
+                - mm(W[bk:], mt(V[bk:]))
         ds.append(dd)
         es.append(ee)
         Vm, T = _form_t_batched(V, taus)
         vts.append((k, Vm, T))
-        # rank-2b two-sided update of the next trailing block
-        c = c[bk:, bk:] - mm(V[bk:], mt(W[bk:])) - mm(W[bk:], mt(V[bk:]))
     ds.append(jnp.reshape(c, (1,)))          # final 1×1 trailing block
     d = jnp.concatenate(ds)
     e = jnp.concatenate(es)

@@ -121,3 +121,25 @@ def test_eigh_dc_mxu_sizes():
         assert np.abs(v.T @ v - np.eye(n)).max() <= 1e-9 * n, f"n={n}"
         assert_all_close((v * w) @ v.T, a, rtol=0, atol=1e-9 * n)
         assert_all_close(w, np.linalg.eigvalsh(a), rtol=1e-8, atol=1e-8)
+
+
+def test_sytrd_kernel_matches_xla_fallback(monkeypatch):
+    """The Pallas latrd panel (ops/sytrd_panel.py, interpret mode here)
+    must agree with the XLA fori-loop reference panel bit-for-bit-ish:
+    same reflector recurrence, same update — differences only from
+    reassociated dot reductions (f64 on CPU: ~1e-13)."""
+    from nd4js_tpu.la.sytrd import sytrd
+    import jax
+    rng = TestRNG("sytrd_kernel_eq")
+    for n in [5, 17, 64, 65, 130]:
+        a = rng.matrix(n, n)
+        a = (a + a.T) / 2
+        monkeypatch.setenv("ND4JS_TPU_SYTRD_KERNEL", "1")
+        dk, ek, qk = map(np.asarray, jax.jit(sytrd)(a))
+        monkeypatch.setenv("ND4JS_TPU_SYTRD_KERNEL", "0")
+        dx, ex, qx = map(np.asarray, jax.jit(sytrd)(a))
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(dk - dx).max() <= 1e-11 * scale, f"n={n}"
+        if n > 1:
+            assert np.abs(ek - ex).max() <= 1e-11 * scale, f"n={n}"
+        assert np.abs(qk - qx).max() <= 1e-11 * max(1, n), f"n={n}"
