@@ -87,10 +87,12 @@ def _sytrd_panel(c, bk: int):
     return jax.lax.fori_loop(0, bk, body, (V0, W0, z, z, z))
 
 
-def sytrd(a, panel: int = _PANEL):
+def sytrd(a, panel: int = _PANEL, use_kernel: bool | None = None):
     """Symmetric tridiagonalization core (2-D): returns (d, e, q) with
     A = Q·tridiag(d, e)·Qᵀ. Only the symmetric part of ``a`` is used.
-    vmap for batches."""
+    vmap for batches. ``use_kernel`` selects the Pallas panel path
+    explicitly (None = env ND4JS_TPU_SYTRD_KERNEL, default on); it is
+    forced off for dtypes Mosaic can't lower (e.g. float64 on TPU)."""
     from .qr import _form_t_batched
     n = a.shape[-1]
     a = (a + mt(a)) * 0.5
@@ -99,8 +101,11 @@ def sytrd(a, panel: int = _PANEL):
     if n == 2:
         return (jnp.diagonal(a), jnp.diagonal(a, -1),
                 jnp.eye(2, dtype=a.dtype))
-    use_kernel = _os.environ.get("ND4JS_TPU_SYTRD_KERNEL", "1") != "0"
+    if use_kernel is None:
+        use_kernel = _os.environ.get("ND4JS_TPU_SYTRD_KERNEL", "1") != "0"
     interp = jax.default_backend() == "cpu"
+    if not interp and a.dtype not in (jnp.float32, jnp.bfloat16):
+        use_kernel = False
     ds, es, vts = [], [], []
     c = a
     for k in range(0, n - 1, panel):

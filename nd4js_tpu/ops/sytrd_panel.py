@@ -144,10 +144,11 @@ def sytrd_panel(c, bk: int, interpret: bool = False,
     assert m == m2
     if interpret:
         dot_mode = "exact"
-    per_mat = (2 * m * m + 2 * bk * m + 3 * bk) * 4
+    # c_ref + out + vwt/wvt dot temporaries (~3 m·m live) + V/W + scalars
+    per_mat = (5 * m * m + 4 * bk * m + 3 * bk) * c.dtype.itemsize
     bt = min(_budget_bt(per_mat), Nb)
-    if Nb % bt != 0:
-        bt = 1
+    while Nb % bt != 0:
+        bt -= 1
     grid = (Nb // bt,)
     out, vt, wt, taus, d, e = pl.pallas_call(
         functools.partial(_sytrd_panel_kernel, bk, dot_mode),
