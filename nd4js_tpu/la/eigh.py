@@ -152,7 +152,6 @@ def eigh_via_svd(a):
     return w, vec
 
 
-@batched((2,))
 def eigh_tridiag_dc(a):
     """Symmetric eigendecomposition via blocked tridiagonalization
     + divide-&-conquer (sytrd.py + tridiag_dc.py) — the
@@ -163,7 +162,9 @@ def eigh_tridiag_dc(a):
     panel); the D&C engine solves T with GEMM-dominated merges, and one
     back-transform GEMM restores the eigenvectors. Unlike eigh_via_svd
     there is no spectrum shift: small eigenvalues keep O(eps·‖A‖)
-    absolute accuracy with none of the ‖A‖_F-shift inflation."""
+    absolute accuracy with none of the ‖A‖_F-shift inflation.
+    Batch-native: the leading dims ride the sytrd panel kernel's grid
+    and the level-batched D&C merges (no per-matrix retraces)."""
     from .sytrd import sytrd
     from .tridiag_dc import tridiag_eigh_dc
     a = jnp.asarray(a)

@@ -52,8 +52,12 @@ _REFINE = True
 # Env-overridable so the TPU tuning sweep (tools/tune_schur.py) can A/B
 # them without source edits; shipped defaults are the measured best.
 import os as _os
-_NB = int(_os.environ.get("ND4JS_TPU_SCHUR_NB", "8"))       # bulges/sweep
-_SW = int(_os.environ.get("ND4JS_TPU_SCHUR_SW", "24"))      # AED window
+# r4 sweep (tools/tune_schur.py, v5e, 1024² f32): (16,48,128) 252 ms
+# beats (8,24,128) 267 ms; bigger NS loses — schur_small's in-kernel
+# Francis cost scales ~SW³ (measured 0.16/1.2/5.0/8.5 ms at
+# 24/48/96/128), eating the deflation-rate gains past SW=48
+_NB = int(_os.environ.get("ND4JS_TPU_SCHUR_NB", "16"))      # bulges/sweep
+_SW = int(_os.environ.get("ND4JS_TPU_SCHUR_SW", "48"))      # AED window
 _NIBBLE = int(_os.environ.get("ND4JS_TPU_SCHUR_NIBBLE", "4"))
 #   skip the sweep when AED deflated ≥ NS/_NIBBLE eigenvalues
 _WCHASE = int(_os.environ.get("ND4JS_TPU_SCHUR_W", "128"))  # chase window
@@ -813,7 +817,11 @@ def _schur_core(a, max_iter_factor: int = 40, _debug_raw: bool = False,
             rec = (lo2, hi2,
                    jax.lax.dynamic_slice(h3, (r0, r0),
                                          (r1 - r0, r1 - r0)),
-                   jax.lax.dynamic_slice(lk3, (r0,), (r1 - r0,)))
+                   jax.lax.dynamic_slice(lk3, (r0,), (r1 - r0,)),
+                   # full effective subdiagonal AFTER the iteration —
+                   # lets trajectory tools count *disjoint* active
+                   # windows (multi-window batching diagnostics)
+                   jnp.where(lk3, 0.0, _subdiag(h3)))
             return carry, rec
 
         carry0 = (h, q, locked0, jnp.zeros((), jnp.int32),

@@ -72,6 +72,16 @@ def _pair_tangents(g, eps):
     tiny = jnp.finfo(g.dtype).tiny
     denom = jnp.sqrt(di) * jnp.sqrt(dj) + tiny
     small = jnp.abs(g) <= eps * 0.01 * denom + tiny
+    # rank floor: pairs whose BOTH columns sit below eps·max(d) on the
+    # σ² scale (σ ≤ √eps·σmax — the reference's rank-detection
+    # threshold, svd.js:37-53) are numerically-zero cluster members:
+    # their couplings are roundoff noise normalised by noise, so the
+    # relative measure keeps rattling them forever (measured: the
+    # rank-384/512 cfg3 workload ran ~3× more iterations than full
+    # rank). Freeze them — _complete_u owns the null-space basis.
+    dmax = jnp.max(d, axis=-1)[..., None, None]
+    frozen = (di <= eps * dmax) & (dj <= eps * dmax)
+    small = small | frozen
     safe = jnp.where(small, 1.0, g)
     tau = (dj - di) / (2 * safe)
     t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau))
@@ -83,8 +93,10 @@ def _pair_tangents(g, eps):
     n = g.shape[-1]
     t = jnp.triu(t, 1)
     t = t - jnp.swapaxes(t, -1, -2)
-    # relative off-diagonal measure (Demmel criterion input)
-    off = jnp.abs(g) / denom * (1 - jnp.eye(n, dtype=g.dtype))
+    # relative off-diagonal measure (Demmel criterion input); frozen
+    # zero-cluster pairs are converged by definition
+    off = jnp.where(frozen, 0.0, jnp.abs(g) / denom) \
+        * (1 - jnp.eye(n, dtype=g.dtype))
     return t, jnp.max(off, axis=(-2, -1))
 
 
@@ -207,17 +219,42 @@ def _finishing_sweeps(w, p, max_sweeps: int, tol):
     return w, p, off
 
 
-def _svd_gram_core(a3, max_iters: int, finish_sweeps: int):
-    """a3: (B, N, N) square. Returns (U, sv, Vt) with a3 = U·Σ·Vt."""
+def _svd_gram_core(a3, max_iters: int, finish_sweeps: int,
+                   precond: str = "auto"):
+    """a3: (B, N, N) square. Returns (U, sv, Vt) with a3 = U·Σ·Vt.
+
+    precond:
+      'spectral' — one eigendecomposition of the Gram matrix
+        G = AᵀA = V·Λ·Vᵀ (blocked sytrd + level-batched D&C,
+        la/eigh.py) seeds the iteration at W₀ = A·V, whose Gram is
+        diagonal up to the eigensolver's O(eps·‖G‖) backward error —
+        the Jacobi loop is then a 1-3 iteration *polish* restoring the
+        one-sided method's full column-wise accuracy (the κ²-squaring
+        of the plain gram-eigh SVD never reaches the output: U, V come
+        from rotations of A's own columns, not from Λ).
+      'qlp' — two QR grading passes (Stewart QLP; ~18 f32 iterations).
+      'auto' — spectral at MXU sizes (N ≥ 128), qlp below.
+    """
     B, N, _ = a3.shape
     eps = jnp.finfo(a3.dtype).eps
     tol = eps * N
-    # QLP-style grading preconditioner: A = Q1·R1, R1ᵀ = Q2·R2, so
-    # W0 = R2ᵀ = Q1ᵀ·A·Q2 and A = Q1·W0·Q2ᵀ exactly up to the (machine-
-    # level) orthogonality of the CholeskyQR2 Q factors.
-    q1, r1 = _robust_qr(a3)
-    q2, r2 = _robust_qr(mt(r1))
-    w = mt(r2)
+    if precond == "auto":
+        precond = "spectral" if N >= 128 else "qlp"
+    if precond == "spectral":
+        from .eigh import eigh_tridiag_dc
+        g = mm(mt(a3), a3)
+        _, vg = eigh_tridiag_dc(g)          # ascending eigenvalues
+        vg = vg[..., ::-1]                  # descending σ² ordering
+        w = mm(a3, vg)                      # A = W₀·Vgᵀ exactly
+        q1 = None
+        q2 = vg
+    else:
+        # QLP-style grading preconditioner: A = Q1·R1, R1ᵀ = Q2·R2, so
+        # W0 = R2ᵀ = Q1ᵀ·A·Q2 and A = Q1·W0·Q2ᵀ exactly up to the
+        # (machine-level) orthogonality of the CholeskyQR2 Q factors.
+        q1, r1 = _robust_qr(a3)
+        q2, r2 = _robust_qr(mt(r1))
+        w = mt(r2)
     p = jnp.broadcast_to(jnp.eye(N, dtype=a3.dtype), (B, N, N))
     w, p, off = _gram_iterations(w, p, max_iters, tol)
     if finish_sweeps > 0:
@@ -236,19 +273,22 @@ def _svd_gram_core(a3, max_iters: int, finish_sweeps: int):
     uw = w / safe[:, None, :]
     uw = jax.vmap(lambda uu, ss: _complete_u(
         uu, ss, tol_rank=eps * N * jnp.max(ss)))(uw, sv)
-    u = mm(q1, uw)
+    u = uw if q1 is None else mm(q1, uw)
     v = mm(q2, p)
     return u, sv, mt(v)
 
 
-def svd_gram(a, max_iters: int = 100, finish_sweeps: int = 8):
+def svd_gram(a, max_iters: int = 100, finish_sweeps: int = 8,
+             precond: str = "auto"):
     """Simultaneous-rotation Jacobi SVD: A = U·diag(sv)·V (see module
     docstring). Batched over leading dims; rectangular inputs handled by
     the preconditioning QR (M > N) or by transposition (M < N).
 
     ``max_iters`` bounds the GEMM iteration (exits early on Demmel's
     criterion); ``finish_sweeps`` bounds the scalar-sweep fallback for
-    tied spectra (0 disables it)."""
+    tied spectra (0 disables it); ``precond`` selects the seed
+    transform ('spectral' gram-eigh / 'qlp' QR grading / 'auto' —
+    see _svd_gram_core)."""
     a = jnp.asarray(a)
     a = a.astype(default_float_for(a.dtype))
     if a.ndim < 2:
@@ -259,14 +299,15 @@ def svd_gram(a, max_iters: int = 100, finish_sweeps: int = 8):
     if M < N:
         u, sv, v = svd_gram(jnp.swapaxes(a3, -1, -2),
                             max_iters=max_iters,
-                            finish_sweeps=finish_sweeps)
+                            finish_sweeps=finish_sweeps,
+                            precond=precond)
         u, sv, v = mt(v), sv, mt(u)
     elif M > N:
         q, r = _robust_qr(a3)
-        u, sv, v = _svd_gram_core(r, max_iters, finish_sweeps)
+        u, sv, v = _svd_gram_core(r, max_iters, finish_sweeps, precond)
         u = mm(q, u)
     else:
-        u, sv, v = _svd_gram_core(a3, max_iters, finish_sweeps)
+        u, sv, v = _svd_gram_core(a3, max_iters, finish_sweeps, precond)
     K = min(M, N)
     u, sv, v = (u.reshape(lead + (M, K)), sv.reshape(lead + (K,)),
                 v.reshape(lead + (K, N)))

@@ -22,6 +22,7 @@ which makes eigh(method='dc') GEMM/DC-bound instead of reduction-bound.
 """
 from __future__ import annotations
 
+import math as _math
 import os as _os
 
 import jax
@@ -88,51 +89,59 @@ def _sytrd_panel(c, bk: int):
 
 
 def sytrd(a, panel: int = _PANEL, use_kernel: bool | None = None):
-    """Symmetric tridiagonalization core (2-D): returns (d, e, q) with
-    A = Q·tridiag(d, e)·Qᵀ. Only the symmetric part of ``a`` is used.
-    vmap for batches. ``use_kernel`` selects the Pallas panel path
-    explicitly (None = env ND4JS_TPU_SYTRD_KERNEL, default on); it is
-    forced off for dtypes Mosaic can't lower (e.g. float64 on TPU)."""
+    """Symmetric tridiagonalization, batch-native: returns (d, e, q)
+    with A = Q·tridiag(d, e)·Qᵀ for every matrix in the leading dims.
+    Only the symmetric part of ``a`` is used. The Pallas panel kernel
+    receives the WHOLE flattened batch as its grid (one launch per
+    panel for the entire batch — not vmap-of-kernel). ``use_kernel``
+    selects the Pallas panel path explicitly (None = env
+    ND4JS_TPU_SYTRD_KERNEL, default on); it is forced off for dtypes
+    Mosaic can't lower (e.g. float64 on TPU)."""
     from .qr import _form_t_batched
+    a = jnp.asarray(a)
+    lead = a.shape[:-2]
     n = a.shape[-1]
     a = (a + mt(a)) * 0.5
     if n == 1:
-        return a[..., 0], jnp.zeros((0,), a.dtype), jnp.ones_like(a)
+        return (a[..., 0], jnp.zeros(lead + (0,), a.dtype),
+                jnp.ones_like(a))
     if n == 2:
-        return (jnp.diagonal(a), jnp.diagonal(a, -1),
-                jnp.eye(2, dtype=a.dtype))
+        d = jnp.diagonal(a, axis1=-2, axis2=-1)
+        e = jnp.diagonal(a, offset=-1, axis1=-2, axis2=-1)
+        q = jnp.broadcast_to(jnp.eye(2, dtype=a.dtype), a.shape)
+        return d, e, q
     if use_kernel is None:
         use_kernel = _os.environ.get("ND4JS_TPU_SYTRD_KERNEL", "1") != "0"
     interp = jax.default_backend() == "cpu"
     if not interp and a.dtype not in (jnp.float32, jnp.bfloat16):
         use_kernel = False
+    B = max(1, _math.prod(lead))
+    c = a.reshape((B, n, n))
     ds, es, vts = [], [], []
-    c = a
     for k in range(0, n - 1, panel):
         bk = min(panel, n - 1 - k)
         if use_kernel:
             from ..ops.sytrd_panel import sytrd_panel
-            cup, V, W, taus, dd, ee = sytrd_panel(
-                c[None], bk, interpret=interp)
-            cup, V, W = cup[0], V[0], W[0]
-            taus, dd, ee = taus[0], dd[0], ee[0]
-            c = cup[bk:, bk:]
+            cup, V, W, taus, dd, ee = sytrd_panel(c, bk, interpret=interp)
+            c = cup[:, bk:, bk:]
         else:
-            V, W, taus, dd, ee = _sytrd_panel(c, bk)
+            V, W, taus, dd, ee = jax.vmap(
+                lambda cc: _sytrd_panel(cc, bk))(c)
             # rank-2b two-sided update of the next trailing block
-            c = c[bk:, bk:] - mm(V[bk:], mt(W[bk:])) \
-                - mm(W[bk:], mt(V[bk:]))
+            c = c[:, bk:, bk:] - mm(V[:, bk:], mt(W[:, bk:])) \
+                - mm(W[:, bk:], mt(V[:, bk:]))
         ds.append(dd)
         es.append(ee)
         Vm, T = _form_t_batched(V, taus)
         vts.append((k, Vm, T))
-    ds.append(jnp.reshape(c, (1,)))          # final 1×1 trailing block
-    d = jnp.concatenate(ds)
-    e = jnp.concatenate(es)
+    ds.append(c.reshape((B, 1)))             # final 1×1 trailing block
+    d = jnp.concatenate(ds, axis=-1)
+    e = jnp.concatenate(es, axis=-1)
     # Q = Π_p (I − V_p·T_p·V_pᵀ) applied to I in reverse panel order
-    q = jnp.eye(n, dtype=a.dtype)
+    q = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (B, n, n))
     for k, V, T in reversed(vts):
-        sub = q[k:, :]
+        sub = q[:, k:, :]
         w = mm(T, mm(mt(V), sub))
-        q = jnp.concatenate([q[:k], sub - mm(V, w)], axis=0)
-    return d, e, q
+        q = jnp.concatenate([q[:, :k], sub - mm(V, w)], axis=1)
+    return (d.reshape(lead + (n,)), e.reshape(lead + (n - 1,)),
+            q.reshape(lead + (n, n)))

@@ -28,6 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.batch import batched
 from ..core.mm import mm
 
 __all__ = ["tridiag_eigh_dc"]
@@ -231,17 +232,23 @@ def _tdc_level_batched(d, e, base: int = _BASE):
 
 def tridiag_eigh_dc(d, e, method: str = "batched"):
     """Eigendecomposition of the symmetric tridiagonal (diag d, offdiag
-    e): T = V·diag(w)·Vᵀ, w ascending. Core 2-D (vmap for batches).
+    e): T = V·diag(w)·Vᵀ, w ascending. Batched over leading dims
+    (d: (..., n), e: (..., n−1)).
 
     method: 'batched' (default — level-batched merges, one traced call
     per D&C level) or 'recursive' (per-merge traces; the accuracy
     reference for tests)."""
     d = jnp.asarray(d)
     e = jnp.asarray(e)
-    # below ~4 leaves the level-batching buys nothing and its padding
-    # adds eps-scale noise that degenerate-input contracts at tight f64
-    # tolerances can see (measured 5.0e-13 vs a 3.3e-13 gate at n=22) —
-    # small problems keep the per-merge recursion
-    if method == "batched" and d.shape[0] > 64:
-        return _tdc_level_batched(d, e)
-    return _tdc(d, e)
+
+    def core(d1, e1):
+        # below ~4 leaves the level-batching buys nothing and its
+        # padding adds eps-scale noise that degenerate-input contracts
+        # at tight f64 tolerances can see (measured 5.0e-13 vs a
+        # 3.3e-13 gate at n=22) — small problems keep the per-merge
+        # recursion
+        if method == "batched" and d1.shape[0] > 64:
+            return _tdc_level_batched(d1, e1)
+        return _tdc(d1, e1)
+
+    return batched((1, 1))(core)(d, e)

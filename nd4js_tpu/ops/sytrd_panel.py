@@ -111,9 +111,12 @@ def _sytrd_panel_kernel(bk, dot_mode, c_ref, out_ref, v_ref, w_ref,
     z = jnp.zeros((Bt, bk), dt)
     taus, dd, ee = jax.lax.fori_loop(0, bk, step, (z, z, z),
                                      unroll=False)
-    tau_ref[:] = taus
-    d_ref[:] = dd
-    e_ref[:] = ee
+    # scalar outputs ride a sublane-padded (Bt, 8, bk) buffer: Mosaic
+    # requires the last two block dims be (8k, 128k) or whole-array,
+    # and (Bt, bk) blocks violate that whenever Bt < Nb (batched grid)
+    tau_ref[:] = jnp.broadcast_to(taus[:, None, :], (Bt, 8, bk))
+    d_ref[:] = jnp.broadcast_to(dd[:, None, :], (Bt, 8, bk))
+    e_ref[:] = jnp.broadcast_to(ee[:, None, :], (Bt, 8, bk))
     # rank-2b two-sided update: C ← C − V·Wᵀ − W·Vᵀ (two MXU
     # contractions over the bk reflectors, one writeback)
     # V·Wᵀ as Σ_k Vt[k] ⊗ Wt[k]: contract the bk axis of both panels
@@ -161,21 +164,21 @@ def sytrd_panel(c, bk: int, interpret: bool = False,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((bt, bk, m), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((bt, bk), lambda i: (i, 0),
+                   pl.BlockSpec((bt, 8, bk), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((bt, bk), lambda i: (i, 0),
+                   pl.BlockSpec((bt, 8, bk), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((bt, bk), lambda i: (i, 0),
+                   pl.BlockSpec((bt, 8, bk), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(
             jax.ShapeDtypeStruct((Nb, m, m), c.dtype),
             jax.ShapeDtypeStruct((Nb, bk, m), c.dtype),
             jax.ShapeDtypeStruct((Nb, bk, m), c.dtype),
-            jax.ShapeDtypeStruct((Nb, bk), c.dtype),
-            jax.ShapeDtypeStruct((Nb, bk), c.dtype),
-            jax.ShapeDtypeStruct((Nb, bk), c.dtype),
+            jax.ShapeDtypeStruct((Nb, 8, bk), c.dtype),
+            jax.ShapeDtypeStruct((Nb, 8, bk), c.dtype),
+            jax.ShapeDtypeStruct((Nb, 8, bk), c.dtype),
         ),
         interpret=interpret,
     )(c)
     return (out, jnp.swapaxes(vt, 1, 2), jnp.swapaxes(wt, 1, 2),
-            taus, d, e)
+            taus[:, 0], d[:, 0], e[:, 0])

@@ -20,6 +20,9 @@ import json, os, sys, time
 import jax, jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))) if "__file__" in dir() else ".")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.getcwd(), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 from nd4js_tpu import la
 
 n = int(os.environ["TUNE_N"])
