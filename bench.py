@@ -44,8 +44,124 @@ BASELINE target; v5e f32 roofline = peak_bf16/2, matching the measured
 import json
 import math
 import os
+import signal
+import subprocess
 import sys
 import time
+
+# ---------------------------------------------------------------------
+# Timeout armor (round-4 postmortem): the driver runs this script under
+# a wall-clock `timeout`; round 4's run was SIGTERM'd during a cold XLA
+# compile and died without printing its JSON line — the whole round
+# scored null. Python signal handlers cannot fire while the interpreter
+# is inside a C-level XLA compile, so the fix is structural: the
+# measurements run in a CHILD process that appends each finished entry
+# to a results file; this thin PARENT (pure Python poll loop — signals
+# are delivered promptly) composes and prints the final JSON line when
+# the child finishes, when the driver's SIGTERM arrives, or when the
+# internal deadline (ND4JS_BENCH_DEADLINE seconds, default 870) passes.
+# Entries the child never reached score the 1e-9 failure floor and are
+# tagged !TIMEOUT in the metric string — honest partial credit instead
+# of a null parse.
+# ---------------------------------------------------------------------
+_EXPECTED = ["qr", "lu", "chol", "svd", "cfg1_qr_lstsq_256",
+             "cfg2_luchol_1024x128", "cfg3_svd_lstsq_512",
+             "cfg4_eigh_1024", "cfg4_eigen_1024", "cfg5_odr_lbfgs"]
+
+
+def _compose_and_print(entries, roofline, timed_out):
+    """Score + print the single JSON line. ``entries``: name → result
+    dict. Expected entries with no result score the failure floor."""
+    scores = {}
+    detail = []
+    target_sec = 0.100  # cfg5 latency target (_CFG5_TARGET_SEC)
+    for name in _EXPECTED + [k for k in entries if k not in _EXPECTED]:
+        r = entries.get(name)
+        if r is None:
+            scores[name] = 1e-9
+            detail.append(f"{name}=!TIMEOUT")
+            continue
+        if r["flops"] is None:
+            frac = min(1.0, target_sec / r["sec"]) if r["ok"] else 0.0
+            detail.append(f"{name}={r['sec']*1e3:.0f}ms"
+                          f"{'' if r['ok'] else '!FAIL'}")
+        else:
+            g = (r["flops"] / r["sec"] / 1e9) if r["ok"] else 0.0
+            frac = g / roofline
+            detail.append(f"{name}={r['n']/r['sec']:.0f}/s"
+                          f"({g:.0f}GF){'' if r['ok'] else '!FAIL'}")
+        scores[name] = frac
+    fracs = [max(f, 1e-9) for f in scores.values()]
+    geo = math.exp(sum(math.log(f) for f in fracs) / len(fracs))
+    suffix = " TIMEOUT" if timed_out else ""
+    print(json.dumps({
+        "metric": "BASELINE 5-config suite + batched 512^2 f32 decomps, "
+                  "geomean roofline-fraction "
+                  f"[{'; '.join(detail)}] frac={geo:.5f}{suffix}",
+        "value": round(geo * roofline, 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(geo / 0.70, 4),
+    }), flush=True)
+
+
+def _read_results(path):
+    entries = {}
+    roofline = 98.5e3  # v5e f32 default; overwritten by the meta line
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("kind") == "meta":
+                    roofline = rec["roofline"]
+                else:
+                    entries[rec.pop("name")] = rec
+    except OSError:
+        pass
+    return entries, roofline
+
+
+def _parent_main():
+    deadline = float(os.environ.get("ND4JS_BENCH_DEADLINE", "870"))
+    res_path = f"/tmp/nd4js_bench_results.{os.getpid()}.jsonl"
+    open(res_path, "w").close()
+    env = dict(os.environ,
+               ND4JS_BENCH_CHILD="1", ND4JS_BENCH_RESULTS=res_path)
+    child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             env=env, stdout=sys.stderr)
+    state = {"sig": False}
+
+    def on_term(signum, frame):
+        state["sig"] = True
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+    t0 = time.monotonic()
+    while True:
+        rc = child.poll()
+        if rc is not None:
+            entries, roofline = _read_results(res_path)
+            _compose_and_print(entries, roofline,
+                               timed_out=any(k not in entries
+                                             for k in _EXPECTED))
+            return
+        if state["sig"] or time.monotonic() - t0 > deadline:
+            child.terminate()
+            try:
+                child.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                child.kill()
+            entries, roofline = _read_results(res_path)
+            _compose_and_print(entries, roofline, timed_out=True)
+            return
+        time.sleep(0.5)
+
+
+if os.environ.get("ND4JS_BENCH_CHILD") != "1":
+    if __name__ == "__main__":
+        _parent_main()
+        sys.exit(0)
 
 import jax
 
@@ -395,11 +511,20 @@ def bench_cfg5(results):
 
 def main():
     global FLOOR
+    res_path = os.environ.get("ND4JS_BENCH_RESULTS")
+
+    def emit(rec):
+        if res_path:
+            with open(res_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+                f.flush()
+
     FLOOR = _null_roundtrip()
     _progress(f"null roundtrip floor = {FLOOR*1e3:.1f} ms")
     _contention_guard()
     _progress("contention guard passed")
     roofline = _roofline_f32_gflops()
+    emit({"kind": "meta", "roofline": roofline})
     results = {}
     for fn in (bench_512_suite, bench_cfg1, bench_cfg2, bench_cfg3,
                bench_cfg4, bench_cfg5):
@@ -425,39 +550,21 @@ def main():
             os.environ["ND4JS_TPU_SCHUR_KERNEL"] = "0"
             ok, added = attempt()
             os.environ.pop("ND4JS_TPU_SCHUR_KERNEL", None)
-        if not added:   # fn died before recording anything
-            results[f"FAILED_{fn.__name__}"] = dict(
-                sec=1.0, ok=False, recon=float("inf"), n=0, flops=1.0)
+        if not added:   # fn died before recording anything — its
+            # expected entries stay absent and score the 1e-9 floor in
+            # _compose_and_print
+            _progress(f"  {fn.__name__} recorded nothing (exception)")
         for k in added:
             r = results.get(k)
             if r:
                 _progress(f"  {k}: {r['sec']*1e3:.2f} ms/call "
                           f"ok={r['ok']} recon={r['recon']:.3e}")
+                emit({"name": k, "sec": r["sec"], "ok": bool(r["ok"]),
+                      "recon": float(r["recon"]), "n": r["n"],
+                      "flops": r["flops"]})
 
-    scores = {}
-    detail = []
-    for name, r in results.items():
-        if r["flops"] is None:
-            frac = min(1.0, _CFG5_TARGET_SEC / r["sec"]) if r["ok"] else 0.0
-            detail.append(f"{name}={r['sec']*1e3:.0f}ms"
-                          f"{'' if r['ok'] else '!FAIL'}")
-        else:
-            g = (r["flops"] / r["sec"] / 1e9) if r["ok"] else 0.0
-            frac = g / roofline
-            detail.append(f"{name}={r['n']/r['sec']:.0f}/s"
-                          f"({g:.0f}GF){'' if r['ok'] else '!FAIL'}")
-        scores[name] = frac
-
-    fracs = [max(f, 1e-9) for f in scores.values()]
-    geo = math.exp(sum(math.log(f) for f in fracs) / len(fracs))
-    print(json.dumps({
-        "metric": "BASELINE 5-config suite + batched 512^2 f32 decomps, "
-                  "geomean roofline-fraction "
-                  f"[{'; '.join(detail)}] frac={geo:.5f}",
-        "value": round(geo * roofline, 1),
-        "unit": "GFLOP/s",
-        "vs_baseline": round(geo / 0.70, 4),
-    }))
+    if not res_path:   # standalone run (no parent): print directly
+        _compose_and_print(results, roofline, timed_out=False)
 
 
 if __name__ == "__main__":
