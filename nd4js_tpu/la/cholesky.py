@@ -23,6 +23,7 @@ reference's thrown Error; the eager wrapper can check when not traced.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .. import config as _config
@@ -33,6 +34,18 @@ from .tri import tril_solve, tril_t_solve
 __all__ = ["cholesky_decomp", "cholesky_solve"]
 
 _BASE = 16
+_LEAF_TPU = 64     # leaf width when the Pallas leaf kernel is in play
+
+
+def _use_leaf_kernel() -> bool:
+    """The Pallas leaf kernel runs on accelerator backends only: the
+    CPU test suite keeps the unrolled XLA base case (compiled CPU code
+    beats interpret-mode Pallas ~100× on this hot path); equivalence is
+    pinned by tests/test_lu_chol.py and tests/test_tpu_hw.py."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:          # backend not initialised yet
+        return False
 
 
 def _chol_base(a):
@@ -74,7 +87,7 @@ def _inv_base(l):
     return jnp.stack(rows, axis=-2)
 
 
-def _chol_rec(a, with_inv: bool, base: int = _BASE):
+def _chol_rec(a, with_inv: bool, base: int | None = None):
     """Half/half Cholesky recursion that propagates L⁻¹ alongside L:
 
         L   = [[L11, 0], [L21, L22]]
@@ -91,19 +104,41 @@ def _chol_rec(a, with_inv: bool, base: int = _BASE):
     l21 = A21·iL11ᵀ), but i21 — the two LARGEST inverse GEMMs of each
     node — and the right spine's inverses are skipped.
 
-    ``base`` sets the unrolled-leaf size: larger leaves mean ~4× fewer
-    recursion nodes (dispatch) per doubling at the price of XLA compile
-    time — hot in-graph consumers (the svd_gram iteration runs a
-    chol_inv per GEMM-Jacobi step) use 64."""
+    ``base`` sets the leaf size (default: 64 on accelerators when the
+    Pallas leaf kernel is in play — ops/chol_leaf.py — else 16 for the
+    unrolled XLA base whose compile cost grows with width).
+
+    Kernel-vs-XLA leaf policy (measured on a v5e): the kernel replaces
+    ~4 XLA dispatches per factor column with ~0.4 µs in-kernel steps,
+    but its grid serializes over the batch (bt ≤ 16-24 by the scoped-
+    VMEM limit), so it WINS at small batch × large matrix (32×512²:
+    1.83 → 1.38 ms) and LOSES whenever B/bt grids pile up (1024×128²:
+    2.34 → 8.7 ms) or the tree above the leaves is shallow (the 128²
+    Gram inverses inside qr-cholqr2 panels: qr 2.84 → 3.96 ms). Hence:
+    kernel iff flat batch ≤ 32 AND the recursion's TOP matrix is
+    ≥ 256 (leaf work dominated by deep-tree contexts)."""
+    import math as _math
+    kernel_ok = (_use_leaf_kernel()
+                 and a.shape[-1] >= 256
+                 and max(1, _math.prod(a.shape[:-2])) <= 32)
+    if base is None:
+        base = _LEAF_TPU if kernel_ok else _BASE
+    return _chol_rec_inner(a, with_inv, base, kernel_ok)
+
+
+def _chol_rec_inner(a, with_inv: bool, base: int, kernel_ok: bool):
     n = a.shape[-1]
     if n <= base:
+        if kernel_ok and n >= 8:
+            from ..ops.chol_leaf import chol_leaf
+            return chol_leaf(a, with_inv)
         l = _chol_base(a)
         return l, (_inv_base(l) if with_inv else None)
     m = n // 2
-    l11, i11 = _chol_rec(a[..., :m, :m], True, base)
+    l11, i11 = _chol_rec_inner(a[..., :m, :m], True, base, kernel_ok)
     l21 = mm(a[..., m:, :m], mt(i11))
-    l22, i22 = _chol_rec(a[..., m:, m:] - mm(l21, mt(l21)), with_inv,
-                         base)
+    l22, i22 = _chol_rec_inner(a[..., m:, m:] - mm(l21, mt(l21)),
+                               with_inv, base, kernel_ok)
     ztop = jnp.zeros(a.shape[:-2] + (m, n - m), a.dtype)
     L = jnp.concatenate(
         [jnp.concatenate([l11, ztop], axis=-1),
@@ -117,7 +152,7 @@ def _chol_rec(a, with_inv: bool, base: int = _BASE):
     return L, Li
 
 
-def _chol_inv_rec(a, base: int = _BASE):
+def _chol_inv_rec(a, base: int | None = None):
     return _chol_rec(a, True, base)
 
 
@@ -126,7 +161,7 @@ def _chol_core(a):
     return _chol_rec(a, False)[0]
 
 
-def _chol_inv_core(a, base: int = _BASE):
+def _chol_inv_core(a, base: int | None = None):
     """(L, L⁻¹) — the inverse rides along the recursion, so downstream
     triangular solves become GEMMs."""
     return _chol_inv_rec(a, base)

@@ -154,3 +154,26 @@ def test_lu_solve_fused_matches_split_and_edge_cases():
     y = rng.matrix(160, 2)
     x = la.lu_solve_fused(a, y)
     assert_all_close(a @ np.asarray(x), y, rtol=1e-7, atol=1e-7)
+
+
+def test_chol_leaf_kernel_matches_base():
+    """ops/chol_leaf.py (interpret mode) vs the unrolled XLA base case
+    — the Pallas leaf is TPU-only in production (cholesky.py::
+    _use_leaf_kernel), so CI pins its semantics here explicitly."""
+    from nd4js_tpu.ops.chol_leaf import chol_leaf
+    from nd4js_tpu.la.cholesky import _chol_base, _inv_base
+    rng = TestRNG("chol_leaf")
+    for n in (8, 16, 33, 64):
+        for b in ((), (5,), (2, 3)):
+            g = rng.matrix(*b, n, n)
+            spd = np.einsum("...ij,...kj->...ik", g, g) / n + 2 * np.eye(n)
+            l0 = _chol_base(jnp.asarray(spd))
+            li0 = _inv_base(l0)
+            l1, li1 = chol_leaf(jnp.asarray(spd), True, interpret=True)
+            assert_all_close(l1, l0, rtol=1e-12, atol=1e-12,
+                             err_msg=f"L n={n} lead={b}")
+            assert_all_close(li1, li0, rtol=1e-9, atol=1e-9,
+                             err_msg=f"Li n={n} lead={b}")
+            l2, none = chol_leaf(jnp.asarray(spd), False, interpret=True)
+            assert none is None
+            assert_all_close(l2, l0, rtol=1e-12, atol=1e-12)

@@ -188,3 +188,30 @@ def test_mm_precision_guard_on_hw():
     exact = jnp.matmul(a, b, precision="highest")
     lib = mm(a, b)
     assert _maxabs(lib - exact) <= 1e-5 * _maxabs(exact)
+
+
+def test_chol_leaf_compiled_vs_interpret():
+    """Compiled chol_leaf (Mosaic) vs interpret mode, plus the
+    cholesky_decomp contract on hardware (the TPU path routes leaves
+    through the kernel — cholesky.py::_use_leaf_kernel)."""
+    from nd4js_tpu.ops.chol_leaf import chol_leaf
+    from nd4js_tpu import la
+    key = jax.random.PRNGKey(11)
+    for n, b in ((16, 4), (64, 32), (33, 7)):
+        g = jax.random.normal(key, (b, n, n), jnp.float32)
+        spd = jnp.matmul(g, jnp.swapaxes(g, -1, -2),
+                         precision="highest") / n + 2 * jnp.eye(n)
+        lc, lic = chol_leaf(spd, True, interpret=False)
+        li_, lii = chol_leaf(spd, True, interpret=True)
+        assert _maxabs(lc - li_) < 1e-5
+        assert _maxabs(lic - lii) < 1e-4
+    # end-to-end contract at an MXU size through the public API
+    g = jax.random.normal(key, (8, 256, 256), jnp.float32)
+    spd = jnp.matmul(g, jnp.swapaxes(g, -1, -2),
+                     precision="highest") / 256 + 2 * jnp.eye(256)
+    L, Li = jax.jit(lambda s: la.cholesky_decomp(s, inv=True))(spd)
+    rec = _maxabs(jnp.matmul(L, jnp.swapaxes(L, -1, -2),
+                             precision="highest") - spd)
+    ortho = _maxabs(jnp.matmul(Li, L, precision="highest")
+                    - jnp.eye(256))
+    assert rec <= 1e-5 * _maxabs(spd) * 16 and ortho <= 1e-3
