@@ -233,7 +233,9 @@ def _contention_guard():
     g = jax.jit(run)
     float(g(x))
     expect = 2 * n ** 3 * iters / (60e12 / 2)   # generous: 30 TF floor
-    for attempt in range(20):
+    # 6 × 30 s max: with the timeout armor's fixed deadline, waiting
+    # longer than ~3 min for a contended chip costs recorded entries
+    for attempt in range(6):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

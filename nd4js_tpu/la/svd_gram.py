@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from ..core.mm import mm, mt
 from ..config import default_float_for
-from .svd_jac import _complete_u, _brent_luk_shuffle, _rotation
+from .svd_jac import _brent_luk_shuffle, _rotation
 
 __all__ = ["svd_gram"]
 
@@ -271,8 +271,24 @@ def _svd_gram_core(a3, max_iters: int, finish_sweeps: int,
     p = jnp.take_along_axis(p, order[:, None, :], axis=-1)
     safe = jnp.where(sv > 0, sv, jnp.ones_like(sv))
     uw = w / safe[:, None, :]
-    uw = jax.vmap(lambda uu, ss: _complete_u(
-        uu, ss, tol_rank=eps * N * jnp.max(ss)))(uw, sv)
+    # batch-hoisted dead-column repair: the former per-matrix
+    # vmap(_complete_u) turned its lax.cond into a select, so the
+    # Householder-QR repair branch RAN for all B matrices on every
+    # call (vmapped cond executes both branches) — ~half the polish
+    # wall at 32×512² for full-rank inputs that never need it. One
+    # scalar any() predicate keeps a real branch under jit; the repair
+    # itself is the batched panel QR over the whole batch (healthy
+    # matrices reproduce U exactly up to the R-diagonal sign fix).
+    need = jnp.any(jnp.min(sv, axis=-1)
+                   <= eps * N * jnp.max(sv, axis=-1))
+
+    def _repair(uu):
+        q, r = _robust_qr(uu)
+        d = jnp.diagonal(r, axis1=-2, axis2=-1)
+        sign = jnp.where(d < 0, -1.0, 1.0).astype(uu.dtype)
+        return q * sign[:, None, :]
+
+    uw = jax.lax.cond(need, _repair, lambda uu: uu, uw)
     u = uw if q1 is None else mm(q1, uw)
     v = mm(q2, p)
     return u, sv, mt(v)
