@@ -124,7 +124,12 @@ def _read_results(path):
 
 
 def _parent_main():
-    deadline = float(os.environ.get("ND4JS_BENCH_DEADLINE", "870"))
+    # driver-timeout evidence: round 3 completed at 1012 s with rc=0
+    # (so the external timeout exceeds that); round 4 was SIGTERM'd.
+    # The parent's SIGTERM handler is the primary armor — this internal
+    # deadline only backstops a SIGKILL-style end, so leave it just
+    # under the observed external budget.
+    deadline = float(os.environ.get("ND4JS_BENCH_DEADLINE", "1050"))
     res_path = f"/tmp/nd4js_bench_results.{os.getpid()}.jsonl"
     open(res_path, "w").close()
     env = dict(os.environ,
