@@ -49,13 +49,17 @@ def _base_eigh(d, e):
     return eigh_jacobi(_dense_tridiag(d, e))
 
 
-def _secular_roots_shifted(dd, z2, rho, iters: int = 60):
+def _secular_roots_shifted(dd, z2, rho, iters: int | None = None):
     """All roots of f(λ) = 1 + ρ·Σ z²ᵢ/(dᵢ − λ) in *shifted*
     coordinates: root r is returned as μᵣ = λᵣ − ddᵣ ∈ (0, hiᵣ).
     Shifting kills the catastrophic cancellation of dⱼ − λ when λ hugs
-    a pole (LAPACK dlaed4's central trick). Fixed-count bisection: 60
-    halvings of the containing gap ≈ full mantissa *relative to the
-    gap*."""
+    a pole (LAPACK dlaed4's central trick). Fixed-count bisection sized
+    to the dtype's mantissa *relative to the gap*: 60 halvings for f64
+    (53 bits), 34 for f32 (24 bits) — each halving sweeps a full
+    (n, n) pole-difference array per merge, so the count is a real
+    slice of the level-batched D&C wall at MXU sizes."""
+    if iters is None:
+        iters = 60 if jnp.finfo(dd.dtype).bits > 32 else 34
     n = dd.shape[0]
     zsum = jnp.sum(z2)
     # delta[r, j] = dd_j − dd_r  (exact fp subtraction)
