@@ -533,8 +533,11 @@ def main():
     roofline = _roofline_f32_gflops()
     emit({"kind": "meta", "roofline": roofline})
     results = {}
-    for fn in (bench_512_suite, bench_cfg1, bench_cfg2, bench_cfg3,
-               bench_cfg4, bench_cfg5):
+    # cfg5 first: it is the one entry whose score does not depend on
+    # roofline fraction (latency target, typically 1.0) — under a
+    # worst-case external timeout the partial JSON must keep it
+    for fn in (bench_cfg5, bench_512_suite, bench_cfg1, bench_cfg2,
+               bench_cfg3, bench_cfg4):
         _progress(f"running {fn.__name__}")
         def attempt():
             """Run fn; return (all gates ok, entry names it added)."""
