@@ -39,7 +39,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -99,7 +98,7 @@ def _chol_leaf_kernel(n: int, with_inv: bool, at_ref, lt_ref,
         s = _hdot(s, s)
         x = x + _hdot(x, s)
         span *= 2
-    lit_ref[:] = dinv[:, :, None] * x                # U⁻¹ = L⁻ᵀ … see below
+    lit_ref[:] = dinv[:, :, None] * x      # = U⁻¹ = (L⁻¹)ᵀ; caller transposes
 
 
 def chol_leaf(a, with_inv: bool, interpret: bool = False,
