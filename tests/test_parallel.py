@@ -115,7 +115,28 @@ def test_equiv_chol_solve_128():
 
 def test_equiv_svd_gram_128():
     a = _batch128("equiv_svd")
-    _sharded_vs_replicated(lambda x: la.svd_gram(x), (a,), 2e-4)
+
+    def go(x):
+        u, sv, v = la.svd_gram(x)
+        # compare σ (well-conditioned) and the reconstruction: the
+        # iterative one-sided engine amplifies partitioning-dependent
+        # ulp differences into O(1) basis rotations inside clustered-σ
+        # subspaces (measured 0.68 max-diff on random 128² — a swapped
+        # near-degenerate pair), exactly like eigh's clustered
+        # eigenvectors below; U/V orthogonality is asserted per run
+        # instead, which pins everything the basis freedom leaves open
+        rec = jnp.matmul(u * sv[..., None, :], v, precision="highest")
+        n = x.shape[-1]
+        outu = jnp.matmul(jnp.swapaxes(u, -1, -2), u,
+                          precision="highest") - jnp.eye(n, dtype=u.dtype)
+        outv = jnp.matmul(v, jnp.swapaxes(v, -1, -2),
+                          precision="highest") - jnp.eye(n, dtype=v.dtype)
+        ortho = jnp.maximum(jnp.abs(outu).max(), jnp.abs(outv).max())
+        eps = jnp.finfo(x.dtype).eps
+        ortho_ok = (ortho <= 4 * eps * n).astype(x.dtype)
+        return sv, rec, ortho_ok
+
+    _sharded_vs_replicated(go, (a,), 2e-4)
 
 
 def test_equiv_eigh_128():
